@@ -1,0 +1,117 @@
+"""Frequent-Pair-Scheme candidate generation with explicit skew handling.
+
+Replaces the reference's four hand-fused MR variants
+(``mr-blocking/HammingLSHFPSToolV{0..3}.java``) with ONE declarative chain —
+Catalyst + AQE pick the physical form (SMJ vs broadcast, skew splitting)
+that the reference's V0->V3 ladder hand-codes:
+
+- J1/J2: equi-join of blocking keys on ``(group_id, key)``
+  (``mr-blocking/GenerateIdPairsReducer.java:29-57`` cross-product semantics);
+- A1/F2: ``groupBy(id_a, id_b).count() >= C``
+  (``mr-blocking/FindFrequentIdPairsReducer.java:29-40``; map-side partial
+  aggregation is Catalyst's partial count, the reference's combiner);
+- F3: left-semi membership filter (``mr-blocking/MakeRecordPairsMapper.java:41-53``).
+
+Skew (north_rule — the reference's only lever is "L >= #reducers"):
+mega-buckets from low-entropy content make the per-key cross-product
+quadratic. ``candidate_pairs`` computes per-``(group_id, key)`` bucket sizes
+(A9), and SPLITS hot buckets: the left side gets a deterministic salt shard
+``xxhash64(uid) % shards``, the right side is replicated across shards. Each
+(a, b) pair still meets exactly once per group, so the collision count is
+unchanged — no post-dedup needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_stats(keys: DataFrame) -> DataFrame:
+    """A9: per-group key-cardinality / bucket-size statistics (drives salting)."""
+    return (
+        keys.groupBy("group_id", "key").agg(F.count("*").alias("bucket_size"))
+        .groupBy("group_id")
+        .agg(
+            F.count("*").alias("distinct_keys"),
+            F.sum("bucket_size").alias("records"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.expr("percentile_approx(bucket_size, 0.99)").alias("p99_bucket"),
+        )
+    )
+
+
+def _salted_sides(
+    keys_a: DataFrame,
+    keys_b: DataFrame,
+    hot_threshold: int,
+    shards: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Attach salt columns: A sharded deterministically, B replicated on hot keys."""
+    sizes_b = keys_b.groupBy("group_id", "key").agg(F.count("*").alias("_bs"))
+    hot = sizes_b.filter(F.col("_bs") > hot_threshold).select(
+        "group_id", "key", F.lit(True).alias("_hot")
+    )
+    a = (
+        keys_a.join(F.broadcast(hot), ["group_id", "key"], "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("_hot").isNotNull(), F.pmod(F.xxhash64("uid"), F.lit(shards)))
+            .otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    b = (
+        keys_b.join(F.broadcast(hot), ["group_id", "key"], "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(shards - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("salt", F.explode("_salts"))
+        .drop("_salts", "_hot")
+    )
+    return a, b
+
+
+def candidate_pairs(
+    keys_a: DataFrame,
+    keys_b: DataFrame | None,
+    C: int,
+    hot_threshold: int = 1000,
+    shards: int = 16,
+    self_join: bool = False,
+) -> DataFrame:
+    """-> (id_a, id_b, collisions) with collisions >= C.
+
+    ``keys_*``: (uid, group_id, key). For deduplication within one table pass
+    ``self_join=True`` with ``keys_b=None`` — pairs are canonicalized to
+    ``id_a < id_b``.
+    """
+    if self_join:
+        keys_b = keys_a
+    assert keys_b is not None
+
+    a, b = _salted_sides(keys_a, keys_b, hot_threshold, shards)
+    joined = a.alias("a").join(
+        b.alias("b"), ["group_id", "key", "salt"], "inner"
+    ).select(F.col("a.uid").alias("id_a"), F.col("b.uid").alias("id_b"))
+
+    if self_join:
+        joined = joined.filter(F.col("id_a") < F.col("id_b"))
+
+    return (
+        joined.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("collisions"))
+        .filter(F.col("collisions") >= C)
+    )
+
+
+def semi_join_members(encoded: DataFrame, pairs: DataFrame, uid_col: str = "uid") -> DataFrame:
+    """F3: keep only records participating in >= 1 frequent pair."""
+    ids = pairs.select(F.col("id_a").alias(uid_col)).unionByName(
+        pairs.select(F.col("id_b").alias(uid_col))
+    ).distinct()
+    return encoded.join(F.broadcast(ids), uid_col, "left_semi")

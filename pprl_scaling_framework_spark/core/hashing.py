@@ -106,12 +106,15 @@ class GramHashCache:
         self.n_bits = n_bits
         self.k = k
         self.max_entries = max_entries
-        self._cache: dict[str, np.ndarray] = {}
+        self._cache: dict[bytes, np.ndarray] = {}
 
-    def positions(self, gram: str) -> np.ndarray:
+    def positions_bytes(self, gram: bytes) -> np.ndarray:
         pos = self._cache.get(gram)
         if pos is None:
-            pos = hashes_v3(gram.encode("utf-8"), self.n_bits, self.k)
+            pos = hashes_v3(gram, self.n_bits, self.k)
             if len(self._cache) < self.max_entries:
                 self._cache[gram] = pos
         return pos
+
+    def positions(self, gram: str) -> np.ndarray:
+        return self.positions_bytes(gram.encode("utf-8"))

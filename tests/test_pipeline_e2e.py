@@ -1,0 +1,129 @@
+"""End-to-end PPRL pipeline tests on the deterministic synthetic repos table.
+
+Mirrors the reference's local end-to-end blocking test
+(``lib-test/test/HammingLSHBlockingTest.java:42-82``): derive (C, L) from
+theory (D1), run encode->HLSH->FPS->score->classify, evaluate against the
+uid-embedded ground truth — target pairwise F1 >= 0.99 (BASELINE.json).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pprl_scaling_framework_spark.encoding import schemes
+from pprl_scaling_framework_spark.pipeline.linkage import (
+    LinkageConfig,
+    pairwise_f1,
+    run_dedup_pipeline,
+    run_linkage_pipeline,
+)
+from pprl_scaling_framework_spark.sources import repos as repos_src
+
+
+@pytest.fixture(scope="module")
+def records(spark):
+    df = repos_src.with_uid_and_sha(
+        repos_src.synth_repos(spark, n_entities=300, seed=42, skew_every=50)
+    ).cache()
+    df.count()
+    return df
+
+
+CFG = LinkageConfig(
+    encoding=schemes.clk(["content"], N=4096, K=8, Q=2),
+    hlsh_K=30,
+    hlsh_seed=420,
+    delta=0.01,
+    theta=420,
+    method="dice",
+    threshold=0.8,
+    hot_threshold=50,
+    salt_shards=4,
+)
+
+
+def test_synth_repos_deterministic(spark):
+    a = repos_src.synth_repos(spark, n_entities=50, seed=42).collect()
+    b = repos_src.synth_repos(spark, n_entities=50, seed=42).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = repos_src.synth_repos(spark, n_entities=50, seed=43).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_sha256_invariant(records):
+    # X13: native sha2 must equal python hashlib on every row
+    import hashlib
+
+    rows = records.select("content", "sha256").limit(20).collect()
+    for r in rows:
+        assert hashlib.sha256(r["content"].encode()).hexdigest() == r["sha256"]
+
+
+def test_dedup_pipeline_f1(spark, records):
+    res = run_dedup_pipeline(spark, records, CFG)
+    truth = repos_src.true_pairs(records)
+    stats = pairwise_f1(res.matched_pairs, truth)
+    assert stats["f1"] >= 0.99, stats
+    # candidate reduction: far fewer candidates than n^2/2
+    n = records.count()
+    assert res.candidate_pairs.count() < 0.05 * n * (n - 1) / 2
+
+
+def test_dedup_clusters_match_entities(spark, records):
+    res = run_dedup_pipeline(spark, records, CFG, cluster=True)
+    clusters = res.clusters
+    # every same-entity record pair must land in the same cluster
+    ents = records.select("uid", repos_src.entity_of_uid().alias("entity"),
+                          "sha256")
+    joined = clusters.join(ents, "uid")
+    # non-skew entities: one cluster per entity
+    per_entity = (
+        joined.filter(F.col("entity") % 50 != 0)
+        .groupBy("entity").agg(F.countDistinct("entity_id").alias("k"))
+    )
+    bad = per_entity.filter(F.col("k") > 1).count()
+    assert bad == 0
+    # skew-probe rows (identical content) all share one cluster
+    skew = joined.filter(F.col("entity") % 50 == 0)
+    assert skew.select("entity_id").distinct().count() == 1
+
+
+def test_two_party_linkage(spark, records):
+    # split variants: variant 0 -> party A, others -> party B (overlapping entities)
+    a = records.filter(F.col("path").rlike(r"_0\.\w+$"))
+    b = records.filter(~F.col("path").rlike(r"_0\.\w+$"))
+    res = run_linkage_pipeline(spark, a, b, CFG)
+
+    def cross_restrict(pairs):
+        """Keep pairs with one end in A and the other in B (either order)."""
+        al = a.select(F.col("uid").alias("id_a"))
+        bl = b.select(F.col("uid").alias("id_b"))
+        ar = a.select(F.col("uid").alias("id_b"))
+        br = b.select(F.col("uid").alias("id_a"))
+        p1 = pairs.join(al, "id_a", "left_semi").join(bl, "id_b", "left_semi")
+        p2 = pairs.join(br, "id_a", "left_semi").join(ar, "id_b", "left_semi")
+        return p1.unionByName(p2).distinct()
+
+    truth = cross_restrict(repos_src.true_pairs(records))
+    stats = pairwise_f1(res.matched_pairs, truth)
+    assert stats["f1"] >= 0.99, stats
+
+
+def test_salting_preserves_pair_counts(spark, records):
+    """Candidate multiset with salting == without salting (hot_threshold huge)."""
+    from pprl_scaling_framework_spark.blocking import fps, hlsh
+
+    cfg = CFG
+    plan = cfg.plan()
+    from pprl_scaling_framework_spark.encoding.encode import encode_dataframe
+
+    enc = encode_dataframe(records.limit(200), cfg.encoding, included=["uid"])
+    pos = hlsh.position_matrix(plan.L, cfg.hlsh_K, cfg.encoding.total_bits, cfg.hlsh_seed)
+    keys = hlsh.blocking_keys(enc, "uid", "bf", pos, cfg.encoding.total_bits).cache()
+    salted = fps.candidate_pairs(keys, None, C=plan.C, hot_threshold=5, shards=4,
+                                 self_join=True)
+    unsalted = fps.candidate_pairs(keys, None, C=plan.C, hot_threshold=10**9,
+                                   shards=1, self_join=True)
+    s = {(r["id_a"], r["id_b"], r["collisions"]) for r in salted.collect()}
+    u = {(r["id_a"], r["id_b"], r["collisions"]) for r in unsalted.collect()}
+    assert s == u
