@@ -1,0 +1,215 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these are pure native-DataFrame chains (no Python UDFs at all) so the
+hot path stays inside whole-stage codegen and every one of them is
+oracle-checkable against DuckDB SQL on the same parquet:
+
+- exact:          hash-groupBy on content digest;
+- n-gram Jaccard: distinct character q-gram sets, array_intersect sizing;
+- MinHash + LSH:  md5-prefix base hash (reproducible across engines),
+                  universal-hash signature rows, banded bucket join,
+                  exact-Jaccard verification of band candidates;
+- SimHash:        per-bit majority over md5-derived gram hashes (Hamming
+                  near-dup buckets);
+- embedding near-dup: cosine >= t pairs (see similarity_search).
+
+Scale notes: every pairwise step is blocked (same band bucket / same block
+key) — nothing is O(n^2) globally; band buckets are groupBy-joined, and the
+distinct-gram arrays stay bounded by document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE31 = (1 << 31) - 1  # universal-hash modulus
+
+
+def content_digest(col: str | Column) -> Column:
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (digest, dup_count, representative, member_ids) for groups > 1."""
+    return (
+        df.select(F.col(id_col).alias("id"), content_digest(text_col).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("id").alias("representative"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def char_shingles(text: str | Column, q: int) -> Column:
+    """Distinct character q-grams (sorted for determinism)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t) - q + 1
+    grams = F.when(
+        n >= 1, F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(q)))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def base_hash(gram: Column) -> Column:
+    """56-bit integer from the md5 prefix — identical in Spark and DuckDB.
+
+    Spark: conv(substr(md5(g),1,14),16,10); DuckDB: ('0x'||substr)::bigint.
+    """
+    return F.conv(F.substring(F.md5(gram), 1, 14), 16, 10).cast("long")
+
+
+def minhash_signature(grams: Column, num_hashes: int, seed: int = 7) -> Column:
+    """array<long> signature: min over grams of (a_j*(h%P)+b_j) % P.
+
+    Coefficients are small deterministic constants derived from (seed, j) so
+    the oracle SQL can inline the identical numbers; products stay < 2^62
+    (no ANSI overflow).
+    """
+    sig = []
+    for j in range(num_hashes):
+        a = (seed * 1_000_003 + j * 97) % MERSENNE31 or 1
+        b = (seed * 7_919 + j * 31) % MERSENNE31
+        hashed = F.transform(
+            grams, lambda g: (F.lit(a) * (base_hash(g) % MERSENNE31) + F.lit(b)) % MERSENNE31
+        )
+        sig.append(F.array_min(hashed))
+    return F.array(*sig)
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    return [
+        (((seed * 1_000_003 + j * 97) % MERSENNE31) or 1, (seed * 7_919 + j * 31) % MERSENNE31)
+        for j in range(num_hashes)
+    ]
+
+
+def jaccard_of_arrays(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    q: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """-> (id_a, id_b, jaccard) for pairs sharing >= 1 LSH band, verified
+    with exact Jaccard over the distinct q-gram sets, jaccard >= threshold."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(text_col, q).alias("grams"),
+    ).withColumn("sig", minhash_signature(F.col("grams"), num_hashes, seed))
+
+    banded = base.select(
+        "id", "grams",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn("bucket", F.sha2(F.concat_ws(",", F.col("band"), F.concat_ws("-", "band_sig")), 256))
+
+    a = banded.select("bucket", F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    b = banded.select("bucket", F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    cands = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "g_a", "g_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("jaccard", jaccard_of_arrays(F.col("g_a"), F.col("g_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    q: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard dedup: pairs within the same block."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        char_shingles(text_col, q).alias("grams"),
+    )
+    a = base.select("block", F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    b = base.select("block", F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard_of_arrays(F.col("g_a"), F.col("g_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, q: int = 3, bits: int = 56) -> DataFrame:
+    """-> (id, simhash) 56-bit SimHash from md5-derived gram hashes.
+
+    Per-bit majority vote over the document's distinct q-grams, computed
+    natively: explode grams, aggregate signed bit contributions, re-pack.
+    """
+    assert bits <= 56
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(char_shingles(text_col, q)).alias("g")
+    ).withColumn("h", base_hash(F.col("g")))
+    contrib = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = grams.groupBy("id").agg(*contrib)
+    packed = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        packed = term if packed is None else packed + term
+    return agg.select("id", packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, q: int = 3,
+    bits: int = 56, band_bits: int = 14,
+) -> DataFrame:
+    """Hamming near-dup candidates: pairs agreeing on >= 1 of 4 simhash bands."""
+    sh = simhash(df, id_col, text_col, q, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        "id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(F.lit(mask))
+                for i in range(n_bands)
+            ])
+        ).alias("band", "band_val"),
+    )
+    a = banded.select("band", "band_val", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = banded.select("band", "band_val", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+    )

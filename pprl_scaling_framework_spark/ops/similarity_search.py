@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the exact baseline — broadcast the (small) query
+  set against the corpus, native ``zip_with``/``aggregate`` dot products (no
+  UDF), window top-k.
+- LSH-bucketed ANN: random-hyperplane signatures bucket the corpus; queries
+  probe their bucket (+ optional multi-probe) and rescore exactly — the scale
+  path: the corpus-side join key is a short int, so the candidate set per
+  query is a bucket, not the corpus.
+
+At 100 TB scale the corpus side stays partitioned by bucket; only the query
+side (assumed small) is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """-> (query_id, neighbor_id, rank, cosine_sim): exact top-k per query."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+    if round_digits is not None:
+        out = out.withColumn("cosine_sim", F.round("cosine_sim", round_digits))
+    return out
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int, seed: int = 11) -> Column:
+    """int bucket id: sign pattern against pseudo-random +/-1 hyperplanes.
+
+    Plane p coefficient for dimension i = +1 if xxhash64(seed, p, i) is even
+    else -1 — deterministic, no stored model, computable natively.
+    """
+    bits = []
+    for p in range(n_planes):
+        coeffs = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, cf: x.cast("double") * cf),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket."""
+    sig = lambda col: hyperplane_signature(col, dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("bucket", sig(F.col("c_vec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("bucket", sig(F.col("q_vec")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via shared LSH bucket + exact rescore."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "bucket", hyperplane_signature(F.col("vec"), dim, n_planes, seed)
+    )
+    a = base.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("v_a"))
+    b = base.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+        .distinct()
+    )

@@ -1,0 +1,100 @@
+"""Connected components (alternating vs label-prop vs known answer) and
+StageRunner checkpoint/resume/lineage tests."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pprl_scaling_framework_spark.clustering.connected_components import (
+    connected_components,
+    label_propagation_components,
+)
+from pprl_scaling_framework_spark.pipeline.stages import StageRunner
+
+
+def _components_dict(df):
+    rows = df.collect()
+    comp = {}
+    for r in rows:
+        comp.setdefault(r["entity_id"], set()).add(r["uid"])
+    return {frozenset(v) for v in comp.values()}
+
+
+def test_connected_components_known_graph(spark):
+    # two chains + an isolated pair + a triangle
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),          # chain of 4
+            ("x", "y"),                                   # pair
+            ("p", "q"), ("q", "r"), ("r", "p"),           # triangle
+            ("m", "n"), ("n", "o"),                       # chain of 3
+        ],
+        ["id_a", "id_b"],
+    )
+    got = _components_dict(connected_components(edges))
+    want = {
+        frozenset({"a", "b", "c", "d"}),
+        frozenset({"x", "y"}),
+        frozenset({"p", "q", "r"}),
+        frozenset({"m", "n", "o"}),
+    }
+    assert got == want
+
+
+def test_alternating_equals_label_propagation(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = [(f"v{rnd.randrange(200)}", f"v{rnd.randrange(200)}") for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = _components_dict(connected_components(df))
+    naive = _components_dict(label_propagation_components(df))
+    assert fast == naive
+
+
+def test_stage_runner_checkpoint_resume(spark, tmp_path):
+    run_dir = str(tmp_path / "run1")
+    runner = StageRunner(spark, run_dir)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    df1 = runner.run("stage_a", build)
+    assert df1.count() == 100
+    assert calls["n"] == 1
+
+    # resume within the same runner: no rebuild
+    df2 = runner.run("stage_a", build)
+    assert calls["n"] == 1
+    assert df2.count() == 100
+
+    # resume from a fresh runner on the same dir (new process semantics)
+    runner2 = StageRunner(spark, run_dir)
+    df3 = runner2.run("stage_a", build)
+    assert calls["n"] == 1
+    assert df3.count() == 100
+
+    # lineage metrics recorded
+    m = runner2.manifest["stages"]["stage_a"]["metrics"]
+    assert m["rows"] == 100
+    assert m["partitions"] >= 1
+    assert sum(m["partition_rows"].values()) == 100
+    assert os.path.exists(os.path.join(run_dir, "manifest.json"))
+
+
+def test_stage_runner_failure_marks_failed(spark, tmp_path):
+    run_dir = str(tmp_path / "run2")
+    runner = StageRunner(spark, run_dir)
+
+    def bad():
+        return spark.range(10).withColumn("boom", F.expr("assert_true(id < 5)"))
+
+    with pytest.raises(Exception):
+        runner.run("stage_bad", bad)
+    assert runner.manifest["stages"]["stage_bad"]["status"] == "failed"
+    assert not runner.completed("stage_bad")
