@@ -64,13 +64,15 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(digit_ratio(t), 6).alias("digit_ratio"),
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
     )
+    # the score is computed FROM the rounded components (same in the SQL
+    # oracle) so both engines combine bit-identical double inputs
     score = (
         F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.4
         + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.3
         + (1.0 - F.least(F.col("digit_ratio") * 4.0, F.lit(1.0))) * 0.2
         + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.1
     )
-    return out.withColumn("quality_score", F.round(score, 6))
+    return out.withColumn("quality_score", F.round(score, 4))
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
