@@ -1,0 +1,185 @@
+"""Benchmark harness: headline PPRL pipeline + training-data ops at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is end-to-end seconds of the flagship PPRL dedup
+pipeline (encode -> HLSH block -> salted FPS candidates -> Dice classify ->
+connected components) over a deterministically synthesized repos table sized
+to the sf; ``extra`` carries candidate-pairs/sec (the BASELINE.json
+throughput metric) and per-stage timings.
+
+Set BENCH_SCALING=1 to also run the N vs 4N parallelism probe (local[8] vs
+local[32] on the same input) and report throughput scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# repos-table size scales with the sf dir (sf0.1 -> 20k entities ~ 40k files)
+_SF_GUESS = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
+N_ENTITIES = int(os.environ.get("BENCH_ENTITIES", str(int(200_000 * _SF_GUESS))))
+
+
+def build_spark(cpus: int):
+    from pprl_scaling_framework_spark.sources.session import build_session
+
+    spark = build_session(
+        f"pprl-bench-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def bench_config():
+    from pprl_scaling_framework_spark.encoding import schemes
+    from pprl_scaling_framework_spark.pipeline.linkage import LinkageConfig
+
+    return LinkageConfig(
+        encoding=schemes.clk(["content"], N=4096, K=8, Q=2),
+        hlsh_K=30, hlsh_seed=420, delta=0.01, theta=164,
+        method="dice", threshold=0.8, hot_threshold=200, salt_shards=16,
+    )
+
+
+def run_pipeline(spark, n_entities: int) -> dict:
+    """Flagship pipeline with per-stage wall times; returns timings + counts."""
+    from pyspark.sql import functions as F
+
+    from pprl_scaling_framework_spark.blocking import fps, hlsh
+    from pprl_scaling_framework_spark.clustering.connected_components import (
+        connected_components,
+    )
+    from pprl_scaling_framework_spark.encoding.encode import encode_dataframe
+    from pprl_scaling_framework_spark.matching.score import matched_pairs
+    from pprl_scaling_framework_spark.sources import repos as repos_src
+
+    from pprl_scaling_framework_spark.pipeline.linkage import (
+        collapse_exact_duplicates,
+        expand_clusters,
+    )
+
+    cfg = bench_config()
+    plan = cfg.plan()
+    n_bits = cfg.encoding.total_bits
+    t: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    t0 = time.time()
+    records = repos_src.with_uid_and_sha(
+        repos_src.synth_repos(spark, n_entities=n_entities, seed=42, skew_every=50)
+    )
+
+    s = time.time()
+    rep_records, uid_to_rep = collapse_exact_duplicates(records, "uid", "content")
+    uid_to_rep = uid_to_rep.persist()
+    counts["records"] = uid_to_rep.count()
+    t["exact_collapse"] = time.time() - s
+
+    s = time.time()
+    encoded = encode_dataframe(rep_records, cfg.encoding, included=["uid"]).persist()
+    counts["rep_records"] = encoded.count()
+    t["encode"] = time.time() - s
+
+    s = time.time()
+    pos = hlsh.position_matrix(plan.L, cfg.hlsh_K, n_bits, cfg.hlsh_seed)
+    keys = hlsh.blocking_keys(encoded, "uid", "bf", pos, n_bits).persist()
+    counts["blocking_keys"] = keys.count()
+    t["block"] = time.time() - s
+
+    s = time.time()
+    cands = fps.candidate_pairs(
+        keys, None, C=plan.C, hot_threshold=cfg.hot_threshold,
+        shards=cfg.salt_shards, self_join=True,
+    ).persist()
+    counts["candidate_pairs"] = cands.count()
+    t["candidates"] = time.time() - s
+
+    s = time.time()
+    matches = matched_pairs(cands, encoded, cfg.method, cfg.threshold, n_bits).persist()
+    counts["matched_pairs"] = matches.count()
+    t["match"] = time.time() - s
+
+    s = time.time()
+    clusters = expand_clusters(connected_components(matches), uid_to_rep)
+    counts["clusters"] = clusters.select("entity_id").distinct().count()
+    t["cluster"] = time.time() - s
+
+    t["total"] = time.time() - t0
+    for df in (encoded, keys, cands, matches, uid_to_rep):
+        df.unpersist()
+    return {"timings": t, "counts": counts, "plan": {"C": plan.C, "L": plan.L}}
+
+
+def run_ops_queries(spark) -> dict[str, float]:
+    """Headline training-data ops at the sf dir."""
+    from pprl_scaling_framework_spark.entry_queries import QUERIES
+
+    names = [
+        "dedup_minhash_lsh", "dedup_exact", "text_quality",
+        "ann_cosine_topk", "a1_agg_pricing", "f2_frequent_pairs",
+    ]
+    out = {}
+    for name in names:
+        s = time.time()
+        n = QUERIES[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - s, 3)
+    return out
+
+
+def main() -> None:
+    results_queries: dict[str, float] = {}
+    extra: dict = {}
+
+    spark = build_spark(CPUS)
+    pipe = run_pipeline(spark, N_ENTITIES)
+    for k, v in pipe["timings"].items():
+        results_queries[f"pprl_{k}"] = round(v, 3)
+    results_queries.update(run_ops_queries(spark))
+    extra["counts"] = pipe["counts"]
+    extra["plan"] = pipe["plan"]
+    extra["n_entities"] = N_ENTITIES
+    extra["cpus"] = CPUS
+    cand_stage = pipe["timings"]["block"] + pipe["timings"]["candidates"]
+    extra["candidate_pairs_per_sec"] = round(pipe["counts"]["candidate_pairs"] / cand_stage, 1)
+    extra["records_per_sec_e2e"] = round(pipe["counts"]["records"] / pipe["timings"]["total"], 1)
+    spark.stop()
+
+    if os.environ.get("BENCH_SCALING") == "1":
+        scaling = {}
+        for cpus in (8, 32):
+            sp = build_spark(cpus)
+            r = run_pipeline(sp, N_ENTITIES)
+            thr = r["counts"]["records"] / r["timings"]["total"]
+            scaling[f"local[{cpus}]"] = {
+                "total_sec": round(r["timings"]["total"], 2),
+                "records_per_sec": round(thr, 1),
+            }
+            sp.stop()
+        t8 = scaling["local[8]"]["records_per_sec"]
+        t32 = scaling["local[32]"]["records_per_sec"]
+        scaling["efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
+        extra["scaling"] = scaling
+
+    print(json.dumps({
+        "metric": "pprl_e2e_seconds",
+        "value": round(pipe["timings"]["total"], 3),
+        "unit": "sec",
+        "queries": results_queries,
+        "sf": _SF_GUESS,
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,25 +87,51 @@ def candidate_pairs(
     """-> (id_a, id_b, collisions) with collisions >= C.
 
     ``keys_*``: (uid, group_id, key). For deduplication within one table pass
-    ``self_join=True`` with ``keys_b=None`` — pairs are canonicalized to
-    ``id_a < id_b``.
+    ``self_join=True`` with ``keys_b=None`` — pairs are canonicalized by a
+    compact surrogate id.
+
+    Shuffle-volume note: the join + count run on ``rid = xxhash64(uid)``
+    (8 bytes) instead of the uid string; uids are re-attached afterwards via
+    broadcast dictionaries. (64-bit surrogates are collision-safe to ~10^8
+    records per side; beyond that swap in a 128-bit surrogate.)
     """
     if self_join:
         keys_b = keys_a
     assert keys_b is not None
 
-    a, b = _salted_sides(keys_a, keys_b, hot_threshold, shards)
+    dict_a = keys_a.select("uid").distinct().withColumn("rid", F.xxhash64("uid"))
+    dict_b = (
+        dict_a if self_join
+        else keys_b.select("uid").distinct().withColumn("rid", F.xxhash64("uid"))
+    )
+    ka = keys_a.select(F.xxhash64("uid").alias("uid"), "group_id", "key")
+    kb = keys_b.select(F.xxhash64("uid").alias("uid"), "group_id", "key")
+
+    a, b = _salted_sides(ka, kb, hot_threshold, shards)
     joined = a.alias("a").join(
         b.alias("b"), ["group_id", "key", "salt"], "inner"
-    ).select(F.col("a.uid").alias("id_a"), F.col("b.uid").alias("id_b"))
+    ).select(F.col("a.uid").alias("rid_a"), F.col("b.uid").alias("rid_b"))
 
     if self_join:
-        joined = joined.filter(F.col("id_a") < F.col("id_b"))
+        joined = joined.filter(F.col("rid_a") < F.col("rid_b"))
+    else:
+        joined = joined.filter(F.col("rid_a") != F.col("rid_b"))
 
-    return (
-        joined.groupBy("id_a", "id_b")
+    counted = (
+        joined.groupBy("rid_a", "rid_b")
         .agg(F.count("*").alias("collisions"))
         .filter(F.col("collisions") >= C)
+    )
+    return (
+        counted.join(
+            F.broadcast(dict_a.select(F.col("rid").alias("rid_a"), F.col("uid").alias("id_a"))),
+            "rid_a",
+        )
+        .join(
+            F.broadcast(dict_b.select(F.col("rid").alias("rid_b"), F.col("uid").alias("id_b"))),
+            "rid_b",
+        )
+        .select("id_a", "id_b", "collisions")
     )
 
 

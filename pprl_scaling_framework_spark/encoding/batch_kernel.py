@@ -83,6 +83,32 @@ def gram_windows(col: pd.Series, q: int) -> tuple[np.ndarray, np.ndarray, np.nda
     return windows, row_of_window, fallback
 
 
+def _unique_windows(windows: np.ndarray, q: int) -> tuple[bytes, np.ndarray, int]:
+    """Dedup gram windows -> (unique gram bytes, inverse index, n_unique).
+
+    q == 2 uses an O(T) 16-bit code table (no sort); larger q packs windows
+    into uint64 codes and sorts those (much faster than void comparisons).
+    """
+    t = len(windows)
+    if q == 2:
+        codes = np.ascontiguousarray(windows).view("<u2").ravel()
+        present = np.zeros(1 << 16, dtype=bool)
+        present[codes] = True
+        ids = np.cumsum(present) - 1
+        inv = ids[codes]
+        uniq_codes = np.flatnonzero(present).astype("<u2")
+        return uniq_codes.tobytes(), inv, len(uniq_codes)
+    assert q <= 8, "q-gram length > 8 unsupported in the fast path"
+    padded = np.zeros((t, 8), dtype=np.uint8)
+    padded[:, :q] = windows
+    codes = padded.view("<u8").ravel()
+    uniq, inv = np.unique(codes, return_inverse=True)
+    # unique code bytes, truncated back to q bytes per gram
+    ub = uniq.astype("<u8").tobytes()
+    out = b"".join(ub[i * 8:i * 8 + q] for i in range(len(uniq)))
+    return out, inv, len(uniq)
+
+
 def _set_field_bits(
     bits: np.ndarray,
     col: pd.Series,
@@ -93,16 +119,20 @@ def _set_field_bits(
     """OR the hashed gram positions of ``col`` into ``bits`` (B, >=N) at offset."""
     windows, row_of_window, fallback = gram_windows(col, q)
     k = cache.k
+    n_total = bits.shape[1]
     if len(windows):
-        void = np.ascontiguousarray(windows).view(np.dtype((np.void, q))).ravel()
-        uniq, inv = np.unique(void, return_inverse=True)
-        uniq_bytes = uniq.tobytes()
-        posmat = np.empty((len(uniq), k), dtype=np.int64)
-        for i in range(len(uniq)):
+        uniq_bytes, inv, n_uniq = _unique_windows(windows, q)
+        posmat = np.empty((n_uniq, k), dtype=np.int64)
+        for i in range(n_uniq):
             posmat[i] = cache.positions_bytes(uniq_bytes[i * q:(i + 1) * q])
-        flat_rows = np.repeat(row_of_window, k)
-        flat_pos = posmat[inv].ravel() + bit_offset
-        bits[flat_rows, flat_pos] = 1
+        # dedupe (row, gram) pairs before expanding by K
+        pair_key = row_of_window * np.int64(n_uniq) + inv
+        pair_key = np.unique(pair_key)
+        rows = pair_key // n_uniq
+        gidx = pair_key % n_uniq
+        # single flat scatter: much faster than 2-d fancy indexing
+        lin = (rows[:, None] * np.int64(n_total) + (posmat[gidx] + bit_offset)).ravel()
+        bits.ravel()[lin] = 1
     for r, grams in fallback:
         for g in grams:
             bits[r, cache.positions_bytes(g) + bit_offset] = 1

@@ -213,10 +213,11 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Blocked n-gram Jaccard dedup (same-lang blocks)."""
-    return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", "lang", q=3, threshold=0.4
+    """Blocked n-gram Jaccard dedup (lang + size-bucket blocks)."""
+    d = _docs(spark, sf_dir).withColumn(
+        "blk", F.concat_ws("|", "lang", (F.col("n_chars") / 16).cast("long"))
     )
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", "blk", q=3, threshold=0.4)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -332,7 +333,7 @@ def _pprl_config():
 
     return LinkageConfig(
         encoding=schemes.clk(["content"], N=4096, K=8, Q=2),
-        hlsh_K=30, hlsh_seed=420, delta=0.01, theta=420,
+        hlsh_K=30, hlsh_seed=420, delta=0.01, theta=164,
         method="dice", threshold=0.8, hot_threshold=50, salt_shards=4,
     )
 
@@ -580,7 +581,8 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_ngram_jaccard": """
         WITH g AS (
-            SELECT doc_id, lang,
+            SELECT doc_id,
+                   lang || '|' || CAST(CAST(floor(n_chars / 16) AS BIGINT) AS VARCHAR) AS blk,
                    list_sort(list_distinct(list_transform(
                        generate_series(1, greatest(length(text) - 2, 0)),
                        i -> substr(text, i, 3)))) AS grams
@@ -590,7 +592,7 @@ ORACLES: dict[str, str] = {
                round(len(list_intersect(a.grams, b.grams))::DOUBLE /
                      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE,
                      6) AS jaccard
-        FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
         WHERE len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) > 0
           AND len(list_intersect(a.grams, b.grams))::DOUBLE /
               (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE >= 0.4

@@ -113,8 +113,11 @@ def minhash_lsh_pairs(
         char_shingles(text_col, q).alias("grams"),
     ).withColumn("sig", minhash_signature(F.col("grams"), num_hashes, seed))
 
+    # NB (scale): the bucket join carries only (bucket, id) — the gram arrays
+    # are re-attached AFTER the pair set is deduplicated, otherwise hot
+    # buckets shuffle megabytes of array payload per candidate row.
     banded = base.select(
-        "id", "grams",
+        "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -123,16 +126,23 @@ def minhash_lsh_pairs(
         ).alias("band", "band_sig"),
     ).withColumn("bucket", F.sha2(F.concat_ws(",", F.col("band"), F.concat_ws("-", "band_sig")), 256))
 
-    a = banded.select("bucket", F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
-    b = banded.select("bucket", F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    a = banded.select("bucket", F.col("id").alias("id_a"))
+    b = banded.select("bucket", F.col("id").alias("id_b"))
     cands = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "g_a", "g_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    grams_only = base.select("id", "grams")
+    with_grams = (
+        cands.join(grams_only.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("grams", "g_a"), "id_a")
+        .join(grams_only.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("grams", "g_b"), "id_b")
+    )
     return (
-        cands.withColumn("jaccard", jaccard_of_arrays(F.col("g_a"), F.col("g_b")))
+        with_grams.withColumn("jaccard", jaccard_of_arrays(F.col("g_a"), F.col("g_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

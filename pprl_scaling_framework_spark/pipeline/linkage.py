@@ -32,7 +32,7 @@ class LinkageConfig:
     hlsh_K: int = 30
     hlsh_seed: int = 420
     delta: float = 0.01
-    theta: Optional[int] = None          # default 0.1*N (reference dynamic)
+    theta: Optional[int] = None          # default 0.04*N (near-dup TM hamming bound)
     C: Optional[int] = None              # override planner
     L: Optional[int] = None              # override planner
     method: str = "dice"                 # primary classifier (north_star)
@@ -41,7 +41,7 @@ class LinkageConfig:
     salt_shards: int = 16
 
     def plan(self) -> FPSPlan:
-        theta = self.theta if self.theta is not None else int(0.1 * self.encoding.total_bits)
+        theta = self.theta if self.theta is not None else int(0.04 * self.encoding.total_bits)
         p = plan_blocking(theta=theta, s_bits=self.encoding.total_bits,
                           delta=self.delta, K=self.hlsh_K)
         if self.C is not None or self.L is not None:
@@ -59,6 +59,71 @@ class LinkageResult:
     candidate_pairs: DataFrame
     matched_pairs: DataFrame
     clusters: Optional[DataFrame] = None
+    uid_to_rep: Optional[DataFrame] = None   # (uid, rep_uid) when exact-collapse ran
+
+
+def collapse_exact_duplicates(
+    records: DataFrame, uid_col: str, content_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-pairwise exact-duplicate collapse (essential at 10^12-file scale).
+
+    A group of m byte-identical files would otherwise fan out O(m^2)
+    candidate pairs through every blocking group (the reference has no
+    defense against this). Returns ``(representatives, uid_to_rep)`` where
+    representatives carry one row per distinct content digest (min uid wins)
+    and ``uid_to_rep`` maps every uid to its representative.
+    """
+    digests = records.select(
+        F.col(uid_col).alias("uid"), F.sha2(F.col(content_col), 256).alias("_digest")
+    )
+    reps = digests.groupBy("_digest").agg(F.min("uid").alias("rep_uid"))
+    uid_to_rep = digests.join(reps, "_digest").select("uid", "rep_uid")
+    rep_keys = (
+        uid_to_rep.filter(F.col("uid") == F.col("rep_uid"))
+        .select(F.col("uid").alias("_rep_key"))
+    )
+    rep_records = records.join(
+        rep_keys, records[uid_col] == F.col("_rep_key"), "left_semi"
+    )
+    return rep_records, uid_to_rep
+
+
+def expand_clusters(clusters_rep: DataFrame, uid_to_rep: DataFrame) -> DataFrame:
+    """Map every member uid to its representative's cluster id."""
+    return (
+        uid_to_rep.join(
+            clusters_rep.withColumnRenamed("uid", "rep_uid"), "rep_uid", "left"
+        )
+        .select("uid", F.coalesce("entity_id", F.col("rep_uid")).alias("entity_id"))
+    )
+
+
+def expand_matched_pairs(
+    matches_rep: DataFrame, uid_to_rep: DataFrame
+) -> DataFrame:
+    """Full pair set implied by rep-level matches + same-digest groups.
+
+    Quadratic in duplicate-group size — evaluation/test helper only; the
+    scalable deliverable is :func:`expand_clusters`.
+    """
+    m = uid_to_rep
+    rep_pairs = (
+        matches_rep.withColumnRenamed("id_a", "rep_a").withColumnRenamed("id_b", "rep_b")
+        .join(m.select(F.col("uid").alias("id_a"), F.col("rep_uid").alias("rep_a")), "rep_a")
+        .join(m.select(F.col("uid").alias("id_b"), F.col("rep_uid").alias("rep_b")), "rep_b")
+        .select("id_a", "id_b")
+    )
+    same_digest = (
+        m.alias("x").join(m.alias("y"), F.col("x.rep_uid") == F.col("y.rep_uid"))
+        .filter(F.col("x.uid") < F.col("y.uid"))
+        .select(F.col("x.uid").alias("id_a"), F.col("y.uid").alias("id_b"))
+    )
+    return (
+        rep_pairs.select(F.least("id_a", "id_b").alias("id_a"),
+                         F.greatest("id_a", "id_b").alias("id_b"))
+        .unionByName(same_digest)
+        .distinct()
+    )
 
 
 def run_dedup_pipeline(
@@ -66,10 +131,18 @@ def run_dedup_pipeline(
     records: DataFrame,
     config: LinkageConfig,
     uid_col: str = "uid",
+    content_col: str = "content",
     runner: StageRunner | None = None,
     cluster: bool = True,
+    collapse_exact: bool = True,
 ) -> LinkageResult:
-    """Self-linkage (deduplication) over one table with a ``uid`` column."""
+    """Self-linkage (deduplication) over one table with a ``uid`` column.
+
+    With ``collapse_exact`` (default), byte-identical records are collapsed
+    to one representative per sha256 digest BEFORE any pairwise work —
+    removing the quadratic blow-up of exact-duplicate groups — and cluster
+    ids are re-expanded to all members afterwards.
+    """
     plan = config.plan()
     n_bits = config.encoding.total_bits
     pos = hlsh.position_matrix(plan.L, config.hlsh_K, n_bits, config.hlsh_seed)
@@ -78,6 +151,13 @@ def run_dedup_pipeline(
         if runner is not None:
             return runner.run(name, build)
         return build()
+
+    uid_to_rep = None
+    if collapse_exact:
+        rep_records, uid_to_rep = collapse_exact_duplicates(records, uid_col, content_col)
+        if runner is not None:
+            uid_to_rep = runner.run("exact_collapse", lambda: uid_to_rep)
+        records = rep_records
 
     encoded = stage("encode", lambda: encode_dataframe(
         records, config.encoding, included=[uid_col]))
@@ -91,7 +171,10 @@ def run_dedup_pipeline(
     clusters = None
     if cluster:
         clusters = stage("cluster", lambda: connected_components(matches))
-    return LinkageResult(plan, encoded, keys, cands, matches, clusters)
+        if collapse_exact:
+            clusters = stage("cluster_expand",
+                             lambda: expand_clusters(clusters, uid_to_rep))
+    return LinkageResult(plan, encoded, keys, cands, matches, clusters, uid_to_rep)
 
 
 def run_linkage_pipeline(

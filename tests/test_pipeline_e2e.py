@@ -34,7 +34,7 @@ CFG = LinkageConfig(
     hlsh_K=30,
     hlsh_seed=420,
     delta=0.01,
-    theta=420,
+    theta=164,
     method="dice",
     threshold=0.8,
     hot_threshold=50,
@@ -60,13 +60,24 @@ def test_sha256_invariant(records):
 
 
 def test_dedup_pipeline_f1(spark, records):
+    from pprl_scaling_framework_spark.pipeline.linkage import expand_matched_pairs
+
     res = run_dedup_pipeline(spark, records, CFG)
+    predicted = expand_matched_pairs(res.matched_pairs, res.uid_to_rep)
     truth = repos_src.true_pairs(records)
-    stats = pairwise_f1(res.matched_pairs, truth)
+    stats = pairwise_f1(predicted, truth)
     assert stats["f1"] >= 0.99, stats
     # candidate reduction: far fewer candidates than n^2/2
     n = records.count()
     assert res.candidate_pairs.count() < 0.05 * n * (n - 1) / 2
+
+
+def test_dedup_pipeline_f1_no_collapse(spark, records):
+    """Same F1 without the exact-collapse fast path (cross-check)."""
+    res = run_dedup_pipeline(spark, records, CFG, collapse_exact=False)
+    truth = repos_src.true_pairs(records)
+    stats = pairwise_f1(res.matched_pairs, truth)
+    assert stats["f1"] >= 0.99, stats
 
 
 def test_dedup_clusters_match_entities(spark, records):
