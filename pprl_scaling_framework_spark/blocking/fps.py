@@ -46,32 +46,48 @@ def _salted_sides(
     keys_b: DataFrame,
     hot_threshold: int,
     shards: int,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Attach salt columns: A sharded deterministically, B replicated on hot keys."""
+    """Attach salt columns; optionally drop uninformative mega-buckets.
+
+    Three tiers by bucket size sz (computed on the B side):
+    - sz > max_bucket (when set): DROPPED from both sides. Mega-buckets come
+      from low-information key patterns shared by thousands of records; they
+      contribute the vast majority of join volume while a true pair's C>=2
+      evidence overwhelmingly comes from its small buckets (E[collisions]
+      across L groups >> C for pairs under theta).
+    - hot_threshold < sz <= max_bucket: salted — A sharded deterministically
+      by uid, B replicated across shards (each pair still meets exactly once
+      per group, counts unchanged).
+    - sz <= hot_threshold: salt 0.
+    """
     sizes_b = keys_b.groupBy("group_id", "key").agg(F.count("*").alias("_bs"))
-    hot = sizes_b.filter(F.col("_bs") > hot_threshold).select(
-        "group_id", "key", F.lit(True).alias("_hot")
+    flagged = sizes_b.filter(F.col("_bs") > hot_threshold).select(
+        "group_id", "key",
+        (F.col("_bs") > max_bucket if max_bucket is not None else F.lit(False)).alias("_mega"),
     )
     a = (
-        keys_a.join(F.broadcast(hot), ["group_id", "key"], "left")
+        keys_a.join(F.broadcast(flagged), ["group_id", "key"], "left")
+        .filter(F.col("_mega").isNull() | ~F.col("_mega"))
         .withColumn(
             "salt",
-            F.when(F.col("_hot").isNotNull(), F.pmod(F.xxhash64("uid"), F.lit(shards)))
+            F.when(F.col("_mega").isNotNull(), F.pmod(F.xxhash64("uid"), F.lit(shards)))
             .otherwise(F.lit(0)),
         )
-        .drop("_hot")
+        .drop("_mega")
     )
     b = (
-        keys_b.join(F.broadcast(hot), ["group_id", "key"], "left")
+        keys_b.join(F.broadcast(flagged), ["group_id", "key"], "left")
+        .filter(F.col("_mega").isNull() | ~F.col("_mega"))
         .withColumn(
             "_salts",
             F.when(
-                F.col("_hot").isNotNull(),
+                F.col("_mega").isNotNull(),
                 F.sequence(F.lit(0), F.lit(shards - 1)),
             ).otherwise(F.array(F.lit(0))),
         )
         .withColumn("salt", F.explode("_salts"))
-        .drop("_salts", "_hot")
+        .drop("_salts", "_mega")
     )
     return a, b
 
@@ -83,6 +99,9 @@ def candidate_pairs(
     hot_threshold: int = 1000,
     shards: int = 16,
     self_join: bool = False,
+    max_bucket: int | None = None,
+    uids_a: DataFrame | None = None,
+    uids_b: DataFrame | None = None,
 ) -> DataFrame:
     """-> (id_a, id_b, collisions) with collisions >= C.
 
@@ -97,17 +116,22 @@ def candidate_pairs(
     """
     if self_join:
         keys_b = keys_a
+        uids_b = uids_a
     assert keys_b is not None
 
-    dict_a = keys_a.select("uid").distinct().withColumn("rid", F.xxhash64("uid"))
-    dict_b = (
-        dict_a if self_join
-        else keys_b.select("uid").distinct().withColumn("rid", F.xxhash64("uid"))
-    )
+    # uid dictionaries: prefer a caller-provided 1-row-per-uid table (e.g. the
+    # encoded stage output) over a 10^7-row distinct on the exploded keys
+    src_a = uids_a.select("uid") if uids_a is not None else keys_a.select("uid").distinct()
+    dict_a = src_a.withColumn("rid", F.xxhash64("uid"))
+    if self_join:
+        dict_b = dict_a
+    else:
+        src_b = uids_b.select("uid") if uids_b is not None else keys_b.select("uid").distinct()
+        dict_b = src_b.withColumn("rid", F.xxhash64("uid"))
     ka = keys_a.select(F.xxhash64("uid").alias("uid"), "group_id", "key")
     kb = keys_b.select(F.xxhash64("uid").alias("uid"), "group_id", "key")
 
-    a, b = _salted_sides(ka, kb, hot_threshold, shards)
+    a, b = _salted_sides(ka, kb, hot_threshold, shards, max_bucket)
     joined = a.alias("a").join(
         b.alias("b"), ["group_id", "key", "salt"], "inner"
     ).select(F.col("a.uid").alias("rid_a"), F.col("b.uid").alias("rid_b"))

@@ -42,18 +42,24 @@ def position_matrix(L: int, K: int, n_bits: int, seed: int) -> np.ndarray:
 
 
 def hlsh_keys_udf(positions: np.ndarray, n_bits: int):
-    """Vectorized UDF: binary bf -> array<long> of L packed keys."""
+    """Vectorized UDF: binary bf -> array<long> of L packed keys.
+
+    Reads only the L*K needed bits via a byte-gather (byte p>>3, LSB-first
+    shift p&7) instead of unpacking all N bits — ~5x less memory traffic,
+    which matters when many python workers share one memory bus.
+    """
     pos_flat = positions.ravel().astype(np.int64)
     L, K = positions.shape
+    byte_idx = (pos_flat >> 3).astype(np.int64)
+    shifts = (pos_flat & 7).astype(np.uint8)
     powers = (1 << np.arange(K, dtype=np.int64))
 
     @F.pandas_udf(ArrayType(LongType()))
     def _keys(bf: pd.Series) -> pd.Series:
         nb = (n_bits + 7) // 8
         packed = np.frombuffer(b"".join(bf.tolist()), dtype=np.uint8).reshape(len(bf), nb)
-        bits = unpack_bits(packed, n_bits)
-        sel = bits[:, pos_flat].reshape(len(bf), L, K)
-        keys = sel.astype(np.int64) @ powers  # (B, L)
+        sel = (packed[:, byte_idx] >> shifts) & 1          # (B, L*K) uint8
+        keys = sel.reshape(len(bf), L, K).astype(np.int64) @ powers  # (B, L)
         return pd.Series(list(keys))
 
     return _keys

@@ -154,7 +154,22 @@ class BatchEncoder:
             total = sum(len(s) for s in selected)
             self._rbf_dst = np.array(perm[:total], dtype=np.int64)
 
+    # rows per internal block: keeps the unpacked bit matrix ~2 MB so many
+    # concurrent python workers stay cache-resident instead of saturating
+    # DRAM (measured: large flat batches scale INVERSELY with worker count)
+    ROW_BLOCK = 512
+
     def encode(self, cols: list[pd.Series]) -> pd.Series:
+        n = len(cols[0])
+        if n <= self.ROW_BLOCK:
+            return self._encode_block(cols)
+        parts = []
+        for lo in range(0, n, self.ROW_BLOCK):
+            hi = min(lo + self.ROW_BLOCK, n)
+            parts.append(self._encode_block([c.iloc[lo:hi].reset_index(drop=True) for c in cols]))
+        return pd.concat(parts, ignore_index=True)
+
+    def _encode_block(self, cols: list[pd.Series]) -> pd.Series:
         c = self.config
         batch = len(cols[0])
         if c.scheme == "clk":

@@ -39,6 +39,7 @@ class LinkageConfig:
     threshold: float = 0.8
     hot_threshold: int = 1000
     salt_shards: int = 16
+    max_bucket: Optional[int] = None     # drop buckets larger than this (perf knob)
 
     def plan(self) -> FPSPlan:
         theta = self.theta if self.theta is not None else int(0.04 * self.encoding.total_bits)
@@ -165,7 +166,8 @@ def run_dedup_pipeline(
         encoded, uid_col, "bf", pos, n_bits))
     cands = stage("candidates", lambda: fps.candidate_pairs(
         keys, None, C=plan.C, hot_threshold=config.hot_threshold,
-        shards=config.salt_shards, self_join=True))
+        shards=config.salt_shards, self_join=True,
+        max_bucket=config.max_bucket, uids_a=encoded))
     matches = stage("match", lambda: _matched_pairs(
         cands, encoded, config.method, config.threshold, n_bits))
     clusters = None
@@ -212,7 +214,8 @@ def run_linkage_pipeline(
     keys_b = stage("block_b", lambda: hlsh.blocking_keys(enc_b, uid_col, "bf", pos, n_bits))
     cands = stage("candidates", lambda: fps.candidate_pairs(
         keys_a, keys_b, C=plan.C, hot_threshold=config_a.hot_threshold,
-        shards=config_a.salt_shards))
+        shards=config_a.salt_shards, max_bucket=config_a.max_bucket,
+        uids_a=enc_a, uids_b=enc_b))
     matches = stage("match", lambda: _matched_pairs(
         cands, enc_a, config_a.method, config_a.threshold, n_bits, encoded_b=enc_b))
     return LinkageResult(plan, enc_a, keys_a, cands, matches, None)

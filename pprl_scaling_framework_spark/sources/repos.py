@@ -67,13 +67,16 @@ def synth_repos(
 
     # base token stream of the entity; variant v swaps token at slots
     # hash(entity, seed, 'edit', j) for j in 1..v (deterministic small edits)
-    # token = vocab word + entity-specific 4-hex suffix: near-duplicates share
-    # ~(1 - edits/tokens) of their q-grams while distinct entities share few —
-    # mirrors identifier-renamed source files.
+    # token = vocab word + entity-specific 4-char base36 suffix:
+    # near-duplicates share ~(1 - edits/tokens) of their q-grams while
+    # distinct entities share little — mirrors identifier-renamed source
+    # files. Base36 (not hex): a 16-char alphabet would put every suffix in
+    # a 256-bigram space and make ALL entity pairs gram-similar at scale.
     def _token(i, salt):
         h = F.xxhash64(F.col("entity"), F.lit(salt), i)
+        sfx = F.lower(F.lpad(F.conv(
+            F.pmod(F.xxhash64(h), F.lit(36 ** 4)).cast("string"), 10, 36), 4, "0"))
         word = F.element_at(vocab, (F.pmod(h, F.lit(vlen)) + 1).cast("int"))
-        sfx = F.lpad(F.hex(F.pmod(F.xxhash64(h), F.lit(65536))), 4, "0")
         return F.format_string("%s_%s", word, sfx)
 
     tok = F.transform(

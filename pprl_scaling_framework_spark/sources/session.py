@@ -36,6 +36,9 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # tmpfs-backed shuffle: the container's overlay /tmp serializes
+        # shuffle-heavy stages; /dev/shm keeps them memory-speed
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
