@@ -148,10 +148,14 @@ def run_dedup_pipeline(
     n_bits = config.encoding.total_bits
     pos = hlsh.position_matrix(plan.L, config.hlsh_K, n_bits, config.hlsh_seed)
 
-    def stage(name, build):
+    def stage(name, build, reused: bool = False):
+        # without a StageRunner nothing is materialized — persist DFs that
+        # multiple downstream branches consume, or the encode UDF re-runs
+        # once per branch (plan audit showed 40 ArrowEvalPython nodes)
         if runner is not None:
             return runner.run(name, build)
-        return build()
+        df = build()
+        return df.persist() if reused else df
 
     uid_to_rep = None
     if collapse_exact:
@@ -161,7 +165,7 @@ def run_dedup_pipeline(
         records = rep_records
 
     encoded = stage("encode", lambda: encode_dataframe(
-        records, config.encoding, included=[uid_col]))
+        records, config.encoding, included=[uid_col]), reused=True)
     keys = stage("block", lambda: hlsh.blocking_keys(
         encoded, uid_col, "bf", pos, n_bits))
     cands = stage("candidates", lambda: fps.candidate_pairs(
@@ -201,15 +205,16 @@ def run_linkage_pipeline(
     n_bits = config_a.encoding.total_bits
     pos = hlsh.position_matrix(plan.L, config_a.hlsh_K, n_bits, config_a.hlsh_seed)
 
-    def stage(name, build):
+    def stage(name, build, reused: bool = False):
         if runner is not None:
             return runner.run(name, build)
-        return build()
+        df = build()
+        return df.persist() if reused else df
 
     enc_a = stage("encode_a", lambda: encode_dataframe(
-        records_a, config_a.encoding, included=[uid_col]))
+        records_a, config_a.encoding, included=[uid_col]), reused=True)
     enc_b = stage("encode_b", lambda: encode_dataframe(
-        records_b, enc_cfg_b, included=[uid_col]))
+        records_b, enc_cfg_b, included=[uid_col]), reused=True)
     keys_a = stage("block_a", lambda: hlsh.blocking_keys(enc_a, uid_col, "bf", pos, n_bits))
     keys_b = stage("block_b", lambda: hlsh.blocking_keys(enc_b, uid_col, "bf", pos, n_bits))
     cands = stage("candidates", lambda: fps.candidate_pairs(
