@@ -99,19 +99,29 @@ def hash_unique_grams(grams: Sequence[str], n_bits: int, k: int) -> np.ndarray:
     return out
 
 
-class GramHashCache:
-    """Cross-batch memo of gram -> (K,) positions, bounded in size."""
+HASH_VERSIONS = {"v1": hashes_v1, "v2": hashes_v2, "v3": hashes_v3}
 
-    def __init__(self, n_bits: int, k: int, max_entries: int = 1 << 20) -> None:
+
+class GramHashCache:
+    """Cross-batch memo of gram -> (K,) positions, bounded in size.
+
+    ``version`` selects the hash scheme: "v3" is the reference's ACTIVE
+    scheme; "v1" matches its older checked-in encoded fixtures
+    (clk_voters_{a,b} were generated before the V3 switch).
+    """
+
+    def __init__(self, n_bits: int, k: int, max_entries: int = 1 << 20,
+                 version: str = "v3") -> None:
         self.n_bits = n_bits
         self.k = k
         self.max_entries = max_entries
+        self._fn = HASH_VERSIONS[version]
         self._cache: dict[bytes, np.ndarray] = {}
 
     def positions_bytes(self, gram: bytes) -> np.ndarray:
         pos = self._cache.get(gram)
         if pos is None:
-            pos = hashes_v3(gram, self.n_bits, self.k)
+            pos = self._fn(gram, self.n_bits, self.k)
             if len(self._cache) < self.max_entries:
                 self._cache[gram] = pos
         return pos

@@ -145,9 +145,9 @@ class BatchEncoder:
         self.config = config
         c = config
         if c.scheme == "clk":
-            self._caches = [GramHashCache(c.N, c.K)] * len(c.fields)
+            self._caches = [GramHashCache(c.N, c.K, version=c.hash_version)] * len(c.fields)
         else:
-            self._caches = [GramHashCache(n, c.K) for n in c.fbf_sizes]
+            self._caches = [GramHashCache(n, c.K, version=c.hash_version) for n in c.fbf_sizes]
         if c.scheme == "rbf":
             selected, perm = c.rbf_plan()
             self._rbf_selected = [np.array(s, dtype=np.int64) for s in selected]

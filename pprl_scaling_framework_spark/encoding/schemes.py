@@ -44,6 +44,7 @@ class EncodingConfig:
     rbf_composition: Optional[tuple[int, ...]] = None  # bits sampled per field
     rbf_selection_seeds: Optional[tuple[int, ...]] = None
     rbf_permutation_seed: int = 1
+    hash_version: str = "v3"        # v3 = reference active; v1 = old fixtures
 
     def __post_init__(self):
         if self.scheme not in SCHEMES:
