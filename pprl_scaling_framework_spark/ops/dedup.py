@@ -108,7 +108,10 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
-    base = df.select(
+    # small parquet sources arrive as one partition; spread the per-row
+    # shingle/signature compute before the heavy lambda work
+    spread = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    base = df.repartition(spread).select(
         F.col(id_col).alias("id"),
         char_shingles(text_col, q).alias("grams"),
     ).withColumn("sig", minhash_signature(F.col("grams"), num_hashes, seed))
