@@ -22,7 +22,8 @@ def _components_dict(df):
     return {frozenset(v) for v in comp.values()}
 
 
-def test_connected_components_known_graph(spark):
+@pytest.mark.parametrize("thresh", [1_000_000, 0])  # driver fast path + distributed
+def test_connected_components_known_graph(spark, thresh):
     # two chains + an isolated pair + a triangle
     edges = spark.createDataFrame(
         [
@@ -33,7 +34,7 @@ def test_connected_components_known_graph(spark):
         ],
         ["id_a", "id_b"],
     )
-    got = _components_dict(connected_components(edges))
+    got = _components_dict(connected_components(edges, driver_threshold=thresh))
     want = {
         frozenset({"a", "b", "c", "d"}),
         frozenset({"x", "y"}),
@@ -50,9 +51,10 @@ def test_alternating_equals_label_propagation(spark):
     edges = [(f"v{rnd.randrange(200)}", f"v{rnd.randrange(200)}") for _ in range(150)]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    fast = _components_dict(connected_components(df))
+    fast = _components_dict(connected_components(df, driver_threshold=0))
+    fast_driver = _components_dict(connected_components(df))
     naive = _components_dict(label_propagation_components(df))
-    assert fast == naive
+    assert fast == naive == fast_driver
 
 
 def test_stage_runner_checkpoint_resume(spark, tmp_path):
