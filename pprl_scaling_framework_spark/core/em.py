@@ -92,6 +92,11 @@ def run_em(
         g_u = b / denom
         m_sum = float((g_m * freq).sum())
         u_sum = float((g_u * freq).sum())
+        if m_sum <= 0.0 or u_sum <= 0.0:
+            # degenerate posterior (all mass in one class) — the reference
+            # would divide by zero here; keep the last finite estimates
+            converged = True
+            break
 
         prev_m, prev_u, prev_p = m.copy(), u.copy(), p
         m = (rows.T * (g_m * freq)).sum(axis=1) / m_sum
