@@ -88,8 +88,10 @@ def run_em(
         a = p * np.prod(np.where(rows, m, 1.0 - m), axis=1)
         b = (1.0 - p) * np.prod(np.where(rows, u, 1.0 - u), axis=1)
         denom = a + b
-        g_m = a / denom
-        g_u = b / denom
+        # cells with zero total density (possible once estimates hit the
+        # boundary) get zero posterior — they carry no frequency mass
+        g_m = np.divide(a, denom, out=np.zeros_like(a), where=denom > 0)
+        g_u = np.divide(b, denom, out=np.zeros_like(b), where=denom > 0)
         m_sum = float((g_m * freq).sum())
         u_sum = float((g_u * freq).sum())
         if m_sum <= 0.0 or u_sum <= 0.0:
