@@ -76,7 +76,9 @@ def test_em_outputs_are_probabilities(freqs):
     if freq.sum() == 0:
         freq[0] = 1
     res = em.run_em(freq, 3, m0=0.9, u0=0.1, p0=0.01)
-    # degenerate histograms legitimately push estimates to the boundary
-    assert np.isfinite(res.m).all() and ((res.m >= 0) & (res.m <= 1)).all()
-    assert np.isfinite(res.u).all() and ((res.u >= 0) & (res.u <= 1)).all()
-    assert 0 <= res.p <= 1 + 1e-12
+    # degenerate histograms legitimately push estimates to the boundary;
+    # allow float-accumulation epsilon past it
+    eps = 1e-9
+    assert np.isfinite(res.m).all() and ((res.m >= -eps) & (res.m <= 1 + eps)).all()
+    assert np.isfinite(res.u).all() and ((res.u >= -eps) & (res.u <= 1 + eps)).all()
+    assert -eps <= res.p <= 1 + eps
