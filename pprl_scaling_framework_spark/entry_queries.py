@@ -384,6 +384,17 @@ def q_pprl_clusters(spark, sf_dir):
     return res.clusters
 
 
+def q_pprl_two_party(spark, sf_dir):
+    """Alice x Bob linkage (the reference's flagship block_encoded_data)."""
+    from .pipeline.linkage import run_linkage_pipeline
+
+    records = _pprl_records(spark)
+    a = records.filter(F.col("path").rlike(r"_0\.\w+$"))
+    b = records.filter(~F.col("path").rlike(r"_0\.\w+$"))
+    res = run_linkage_pipeline(spark, a, b, _pprl_config())
+    return res.matched_pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 
@@ -689,4 +700,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pprl_candidate_pairs": q_pprl_candidates,
     "pprl_matched_pairs": q_pprl_matched_pairs,
     "pprl_clusters": q_pprl_clusters,
+    "pprl_two_party_linkage": q_pprl_two_party,
 }

@@ -53,8 +53,14 @@ def main() -> None:
     from pprl_scaling_framework_spark.pipeline.stages import StageRunner
     from pprl_scaling_framework_spark.sources import repos as repos_src
 
-    # under spark-submit the session/master/conf come from the submit args
-    spark = SparkSession.builder.appName("pprl-pipeline").getOrCreate()
+    # under spark-submit the session/master/conf come from the submit args;
+    # plain `python` invocation falls back to local[*]
+    builder = SparkSession.builder.appName("pprl-pipeline")
+    import pyspark
+    if not pyspark.SparkConf().contains("spark.master") and "MASTER" not in os.environ:
+        builder = builder.master(os.environ.get("PPRL_MASTER", "local[*]"))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
 
     if args.synthetic:
         records = repos_src.with_uid_and_sha(
