@@ -66,8 +66,10 @@ def _salted_sides(
         "group_id", "key",
         (F.col("_bs") > max_bucket if max_bucket is not None else F.lit(False)).alias("_mega"),
     )
+    # flagged is bounded by total_keys / hot_threshold but still grows with
+    # the corpus — no forced broadcast; AQE broadcasts it while it fits
     a = (
-        keys_a.join(F.broadcast(flagged), ["group_id", "key"], "left")
+        keys_a.join(flagged, ["group_id", "key"], "left")
         .filter(F.col("_mega").isNull() | ~F.col("_mega"))
         .withColumn(
             "salt",
@@ -77,7 +79,7 @@ def _salted_sides(
         .drop("_mega")
     )
     b = (
-        keys_b.join(F.broadcast(flagged), ["group_id", "key"], "left")
+        keys_b.join(flagged, ["group_id", "key"], "left")
         .filter(F.col("_mega").isNull() | ~F.col("_mega"))
         .withColumn(
             "_salts",
@@ -138,21 +140,27 @@ def candidate_pairs(
 
     if self_join:
         joined = joined.filter(F.col("rid_a") < F.col("rid_b"))
-    else:
-        joined = joined.filter(F.col("rid_a") != F.col("rid_b"))
+    # two-party: NO self-pair filter. GenerateIdPairsReducer emits every
+    # (a, b) cross-product pair — parties sharing an id space would lose
+    # exactly their true matches if equal-uid pairs were dropped.
 
     counted = (
         joined.groupBy("rid_a", "rid_b")
         .agg(F.count("*").alias("collisions"))
         .filter(F.col("collisions") >= C)
     )
+    # uid re-attachment: NO forced broadcast — the dictionaries have one row
+    # per input record, which at 10^8+ records exceeds any broadcast limit.
+    # AQE broadcasts them when its runtime size estimate says they fit;
+    # otherwise this is a shuffle join keyed on the already-small ``counted``
+    # side (post C-filter candidate pairs << input records).
     return (
         counted.join(
-            F.broadcast(dict_a.select(F.col("rid").alias("rid_a"), F.col("uid").alias("id_a"))),
+            dict_a.select(F.col("rid").alias("rid_a"), F.col("uid").alias("id_a")),
             "rid_a",
         )
         .join(
-            F.broadcast(dict_b.select(F.col("rid").alias("rid_b"), F.col("uid").alias("id_b"))),
+            dict_b.select(F.col("rid").alias("rid_b"), F.col("uid").alias("id_b")),
             "rid_b",
         )
         .select("id_a", "id_b", "collisions")
@@ -164,4 +172,6 @@ def semi_join_members(encoded: DataFrame, pairs: DataFrame, uid_col: str = "uid"
     ids = pairs.select(F.col("id_a").alias(uid_col)).unionByName(
         pairs.select(F.col("id_b").alias(uid_col))
     ).distinct()
-    return encoded.join(F.broadcast(ids), uid_col, "left_semi")
+    # no broadcast hint: the member set can be a large fraction of the corpus
+    # at scale; AQE picks broadcast only when the runtime size allows it
+    return encoded.join(ids, uid_col, "left_semi")

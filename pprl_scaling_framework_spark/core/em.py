@@ -104,6 +104,12 @@ def run_em(
         m = (rows.T * (g_m * freq)).sum(axis=1) / m_sum
         u = (rows.T * (g_u * freq)).sum(axis=1) / u_sum
         p = m_sum / pair_count
+        # exact arithmetic keeps these in [0,1]; the numerator and
+        # denominator sum in different float orders, so the ratio can land
+        # epsilon above 1 and poison log(1-m) downstream — clip float error
+        m = np.clip(m, 0.0, 1.0)
+        u = np.clip(u, 0.0, 1.0)
+        p = min(max(p, 0.0), 1.0)
 
         if (
             np.abs(m - prev_m).max() <= CONVERGENCE

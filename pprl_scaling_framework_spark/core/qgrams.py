@@ -21,7 +21,9 @@ import re
 from typing import Iterable, Sequence
 
 PAD = "_"
-_WS = re.compile(r"\s+")
+# Java \s is ASCII-only ([ \t\n\x0B\f\r]); Python \s is Unicode-aware and
+# would also collapse U+00A0/U+2028 etc., diverging from the reference.
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def proper_string(s: str) -> str:

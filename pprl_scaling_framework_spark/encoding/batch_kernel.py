@@ -36,7 +36,8 @@ from .schemes import EncodingConfig
 def _proper_series(col: pd.Series) -> pd.Series:
     """Vectorized properString: collapse whitespace runs to '_', pad '_'."""
     s = col.fillna("").astype(str)
-    p = s.str.replace(r"\s+", "_", regex=True)
+    # ASCII class = Java \s semantics (Unicode \s would also hit U+00A0 etc.)
+    p = s.str.replace(r"[ \t\n\x0b\f\r]+", "_", regex=True)
     no_start = ~p.str.startswith("_")
     no_end = ~p.str.endswith("_")
     p = np.where(no_start, "_" + p, p)

@@ -541,10 +541,10 @@ ORACLES: dict[str, str] = {
     "x13_sha256_invariant": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
     "a4_qgram_stats": f"""
         SELECT lang AS grp, COUNT(*) AS n_docs,
-               SUM(length(text)) AS sum_len,
-               SUM({_qgram_count_sql(2)}) AS sum_2grams,
-               SUM({_qgram_count_sql(3)}) AS sum_3grams,
-               SUM({_qgram_count_sql(4)}) AS sum_4grams
+               CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+               CAST(SUM({_qgram_count_sql(2)}) AS BIGINT) AS sum_2grams,
+               CAST(SUM({_qgram_count_sql(3)}) AS BIGINT) AS sum_3grams,
+               CAST(SUM({_qgram_count_sql(4)}) AS BIGINT) AS sum_4grams
         FROM documents GROUP BY lang
     """,
     "x2_qgram_freq": """

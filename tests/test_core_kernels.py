@@ -74,6 +74,20 @@ def test_proper_string():
     assert qgrams.proper_string("a  b\tc") == "_a_b_c_"
 
 
+def test_proper_string_non_ascii_whitespace_preserved():
+    # Java \s is ASCII-only: NBSP / LINE SEPARATOR must NOT collapse to '_'
+    import pandas as pd
+    from pprl_scaling_framework_spark.encoding.batch_kernel import _proper_series
+    cases = ["a\u00a0b", "a\u2028b", "a\u2003b", "a \u00a0 b"]
+    expect = ["_a\u00a0b_", "_a\u2028b_", "_a\u2003b_", "_a_\u00a0_b_"]
+    for s, e in zip(cases, expect):
+        assert qgrams.proper_string(s) == e
+    batch = _proper_series(pd.Series(cases)).tolist()
+    assert batch == expect
+    # ASCII vertical tab / form feed DO collapse (in Java \s, unlike RE2 \s)
+    assert qgrams.proper_string("a\x0bb\x0cc") == "_a_b_c_"
+
+
 def test_qgrams_string():
     assert qgrams.qgrams_of_string("", 2) == []
     assert qgrams.qgrams_of_string("ab", 2) == ["_a", "ab", "b_"]

@@ -138,3 +138,23 @@ def test_salting_preserves_pair_counts(spark, records):
     s = {(r["id_a"], r["id_b"], r["collisions"]) for r in salted.collect()}
     u = {(r["id_a"], r["id_b"], r["collisions"]) for r in unsalted.collect()}
     assert s == u
+
+
+def test_two_party_keeps_equal_uid_pairs(spark):
+    """Parties sharing an id space must not lose their equal-uid true pairs.
+
+    GenerateIdPairsReducer emits every (a, b) cross-product pair; a rid_a !=
+    rid_b filter would silently drop exactly the true matches when both
+    parties use the same uid for the same entity.
+    """
+    from pprl_scaling_framework_spark.blocking import fps
+
+    rows = [("e1", 0, "k1"), ("e2", 0, "k1"), ("e1", 1, "k9"), ("e2", 1, "k9")]
+    ka = spark.createDataFrame(rows, "uid string, group_id int, key string")
+    kb = spark.createDataFrame(rows, "uid string, group_id int, key string")
+    pairs = fps.candidate_pairs(ka, kb, C=2, self_join=False)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # cross-product per (group, key): all 4 ordered combos appear, including
+    # the equal-uid ones
+    assert ("e1", "e1") in got and ("e2", "e2") in got
+    assert ("e1", "e2") in got and ("e2", "e1") in got
