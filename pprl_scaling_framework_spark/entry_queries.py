@@ -414,24 +414,31 @@ def _minhash_sql() -> str:
             FROM documents
         ),
         hashed AS (
-            SELECT doc_id, g,
-                   list_transform(g, x -> ('0x' || substr(md5(x), 1, 14))::BIGINT % {P}) AS hv
+            -- 56-bit gram hashes: signature and exact verify both run on
+            -- these (mirrors gram_hashes/signature_from_hashes in Spark)
+            SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                       g, x -> ('0x' || substr(md5(x), 1, 14))::BIGINT))) AS hg,
+                   list_transform(
+                       list_sort(list_distinct(list_transform(
+                           g, x -> ('0x' || substr(md5(x), 1, 14))::BIGINT))),
+                       h -> h % {P}) AS hv
             FROM grams
         ),
         sigs AS (
-            SELECT doc_id, g, [
+            SELECT doc_id, hg, [
             {sig_terms}
             ] AS sig
             FROM hashed
         ),
         banded AS (
-            SELECT doc_id, g, band,
+            SELECT doc_id, hg, band,
                    sha256(CAST(band AS VARCHAR) || ',' ||
                           array_to_string(sig[band*4+1 : band*4+4], '-')) AS bucket
             FROM sigs, UNNEST([0, 1, 2, 3]) AS t(band)
         ),
         cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.g AS g_a, b.g AS g_b
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.hg AS g_a, b.hg AS g_b
             FROM banded a JOIN banded b USING (bucket)
             WHERE a.doc_id < b.doc_id
         )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .bucket_join import salted_pair_candidates
+
 MERSENNE31 = (1 << 31) - 1  # universal-hash modulus
 
 
@@ -62,22 +64,38 @@ def base_hash(gram: Column) -> Column:
     return F.conv(F.substring(F.md5(gram), 1, 14), 16, 10).cast("long")
 
 
-def minhash_signature(grams: Column, num_hashes: int, seed: int = 7) -> Column:
-    """array<long> signature: min over grams of (a_j*(h%P)+b_j) % P.
+def gram_hashes(grams: Column) -> Column:
+    """Distinct sorted 56-bit hashes of a distinct gram array.
+
+    One md5 per gram — the signature and the exact-Jaccard verification both
+    run over these longs (long compares instead of string compares, and the
+    md5 is NOT recomputed per hash function).
+    """
+    return F.array_sort(F.array_distinct(F.transform(grams, base_hash)))
+
+
+def signature_from_hashes(hg: Column, num_hashes: int, seed: int = 7) -> Column:
+    """array<long> signature: min over gram hashes of (a_j*(h%P)+b_j) % P.
 
     Coefficients are small deterministic constants derived from (seed, j) so
     the oracle SQL can inline the identical numbers; products stay < 2^62
-    (no ANSI overflow).
+    (no ANSI overflow). Duplicate hashes cannot change a min, so running over
+    the distinct-hash array is exactly the per-gram signature.
     """
     sig = []
     for j in range(num_hashes):
         a = (seed * 1_000_003 + j * 97) % MERSENNE31 or 1
         b = (seed * 7_919 + j * 31) % MERSENNE31
         hashed = F.transform(
-            grams, lambda g: (F.lit(a) * (base_hash(g) % MERSENNE31) + F.lit(b)) % MERSENNE31
+            hg, lambda h: (F.lit(a) * (h % MERSENNE31) + F.lit(b)) % MERSENNE31
         )
         sig.append(F.array_min(hashed))
     return F.array(*sig)
+
+
+def minhash_signature(grams: Column, num_hashes: int, seed: int = 7) -> Column:
+    """array<long> signature straight from gram strings (hashes each gram)."""
+    return signature_from_hashes(gram_hashes(grams), num_hashes, seed)
 
 
 def minhash_coefficients(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
@@ -102,6 +120,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     seed: int = 7,
+    hot_threshold: int = 2000,
+    shards: int = 16,
 ) -> DataFrame:
     """-> (id_a, id_b, jaccard) for pairs sharing >= 1 LSH band, verified
     with exact Jaccard over the distinct q-gram sets, jaccard >= threshold."""
@@ -109,12 +129,14 @@ def minhash_lsh_pairs(
     assert rows_per_band * bands == num_hashes
 
     # small parquet sources arrive as one partition; spread the per-row
-    # shingle/signature compute before the heavy lambda work
+    # shingle/signature compute before the heavy lambda work. Strings leave
+    # the plan immediately after shingling: the signature AND the exact
+    # verification run on 56-bit gram hashes (one md5 per gram).
     spread = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     base = df.repartition(spread).select(
         F.col(id_col).alias("id"),
-        char_shingles(text_col, q).alias("grams"),
-    ).withColumn("sig", minhash_signature(F.col("grams"), num_hashes, seed))
+        gram_hashes(char_shingles(text_col, q)).alias("hg"),
+    ).withColumn("sig", signature_from_hashes(F.col("hg"), num_hashes, seed))
 
     # NB (scale): the bucket join carries only (bucket, id) — the gram arrays
     # are re-attached AFTER the pair set is deduplicated, otherwise hot
@@ -129,23 +151,19 @@ def minhash_lsh_pairs(
         ).alias("band", "band_sig"),
     ).withColumn("bucket", F.sha2(F.concat_ws(",", F.col("band"), F.concat_ws("-", "band_sig")), 256))
 
-    a = banded.select("bucket", F.col("id").alias("id_a"))
-    b = banded.select("bucket", F.col("id").alias("id_b"))
-    cands = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    cands = salted_pair_candidates(
+        banded.select("bucket", "id"), ["bucket"],
+        hot_threshold=hot_threshold, shards=shards,
     )
-    grams_only = base.select("id", "grams")
-    with_grams = (
-        cands.join(grams_only.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("grams", "g_a"), "id_a")
-        .join(grams_only.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("grams", "g_b"), "id_b")
+    hashes_only = base.select("id", "hg")
+    with_hashes = (
+        cands.join(hashes_only.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("hg", "g_a"), "id_a")
+        .join(hashes_only.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("hg", "g_b"), "id_b")
     )
     return (
-        with_grams.withColumn("jaccard", jaccard_of_arrays(F.col("g_a"), F.col("g_b")))
+        with_hashes.withColumn("jaccard", jaccard_of_arrays(F.col("g_a"), F.col("g_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -158,19 +176,33 @@ def ngram_jaccard_pairs(
     block_col: str,
     q: int = 3,
     threshold: float = 0.5,
+    hot_threshold: int = 2000,
+    shards: int = 16,
 ) -> DataFrame:
-    """Blocked exact n-gram Jaccard dedup: pairs within the same block."""
+    """Blocked exact n-gram Jaccard dedup: pairs within the same block.
+
+    The bucket join carries ids only (hot blocks would shuffle megabytes of
+    gram-array payload per candidate row); grams re-attach after the pair set
+    is canonical.
+    """
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         char_shingles(text_col, q).alias("grams"),
     )
-    a = base.select("block", F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
-    b = base.select("block", F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    cands = salted_pair_candidates(
+        base.select("block", "id"), ["block"],
+        hot_threshold=hot_threshold, shards=shards, dedup=False,
+    )
+    grams_only = base.select("id", "grams")
+    with_grams = (
+        cands.join(grams_only.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("grams", "g_a"), "id_a")
+        .join(grams_only.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("grams", "g_b"), "id_b")
+    )
     return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jaccard_of_arrays(F.col("g_a"), F.col("g_b")))
+        with_grams.withColumn("jaccard", jaccard_of_arrays(F.col("g_a"), F.col("g_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -204,6 +236,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, q: int = 3, bits: int = 5
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, q: int = 3,
     bits: int = 56, band_bits: int = 14,
+    hot_threshold: int = 2000, shards: int = 16,
 ) -> DataFrame:
     """Hamming near-dup candidates: pairs agreeing on >= 1 of 4 simhash bands."""
     sh = simhash(df, id_col, text_col, q, bits)
@@ -218,11 +251,15 @@ def simhash_near_pairs(
             ])
         ).alias("band", "band_val"),
     )
-    a = banded.select("band", "band_val", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = banded.select("band", "band_val", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    return (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
-        .distinct()
+    # the simhash long is an 8-byte payload — cheap to carry through the join
+    pairs = salted_pair_candidates(
+        banded.select("band", "band_val", "id", "simhash"),
+        ["band", "band_val"], payload_cols=("simhash",),
+        hot_threshold=hot_threshold, shards=shards,
+    )
+    # pairs is already distinct and simhash is functional on id — no second
+    # distinct (it would be a redundant extra shuffle)
+    return pairs.select(
+        "id_a", "id_b",
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).alias("hamming"),
     )

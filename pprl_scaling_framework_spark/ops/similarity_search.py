@@ -138,18 +138,31 @@ def embedding_near_duplicates(
     threshold: float = 0.99,
     n_planes: int = 8,
     seed: int = 11,
+    hot_threshold: int = 2000,
+    shards: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via shared LSH bucket + exact rescore."""
+    """Embedding-cosine near-dup pairs via shared LSH bucket + exact rescore.
+
+    The bucket self-join is salted against hot buckets (e.g. near-zero
+    vectors all landing in one sign pattern) and carries ids only; vectors
+    re-attach for the exact rescore after the pair set is canonical.
+    """
+    from .bucket_join import salted_pair_candidates
+
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
         "bucket", hyperplane_signature(F.col("vec"), dim, n_planes, seed)
     )
-    a = base.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("v_a"))
-    b = base.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
+    cands = salted_pair_candidates(
+        base.select("bucket", "id"), ["bucket"],
+        hot_threshold=hot_threshold, shards=shards, dedup=False,
+    )
+    vecs = base.select("id", "vec")
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(vecs.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("vec", "v_a"), "id_a")
+        .join(vecs.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("vec", "v_b"), "id_b")
         .withColumn("cosine_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
-        .distinct()
     )

@@ -164,3 +164,41 @@ def test_multimodal_plumbing(spark):
         multimodal.decode_image(media, fake=False)
     resized = multimodal.resize_plumbing(media, (4, 4), fake=True)
     assert resized.count() == 20
+
+
+def test_lsh_salting_is_pair_set_invariant(docs, emb):
+    """Hot-bucket salting must redistribute work, not change any output."""
+    def pairs_set(df, cols=("id_a", "id_b")):
+        return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+    # force salting (hot_threshold=1 salts every bucket) vs none (huge)
+    mh_s = dedup.minhash_lsh_pairs(docs, "doc_id", "text", hot_threshold=1, shards=4)
+    mh_u = dedup.minhash_lsh_pairs(docs, "doc_id", "text", hot_threshold=10**9)
+    assert pairs_set(mh_s) == pairs_set(mh_u)
+
+    sh_s = dedup.simhash_near_pairs(docs.limit(60), "doc_id", "text", hot_threshold=1, shards=4)
+    sh_u = dedup.simhash_near_pairs(docs.limit(60), "doc_id", "text", hot_threshold=10**9)
+    assert pairs_set(sh_s, ("id_a", "id_b", "hamming")) == pairs_set(sh_u, ("id_a", "id_b", "hamming"))
+
+    ng_s = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.3,
+                                     hot_threshold=1, shards=4)
+    ng_u = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.3,
+                                     hot_threshold=10**9)
+    assert pairs_set(ng_s, ("id_a", "id_b", "jaccard")) == pairs_set(ng_u, ("id_a", "id_b", "jaccard"))
+
+    dim = len(emb.select("embedding").first()[0])
+    ed_s = similarity_search.embedding_near_duplicates(emb, dim, threshold=0.8,
+                                                       hot_threshold=1, shards=4)
+    ed_u = similarity_search.embedding_near_duplicates(emb, dim, threshold=0.8,
+                                                       hot_threshold=10**9)
+    assert pairs_set(ed_s, ("id_a", "id_b", "cosine_sim")) == pairs_set(ed_u, ("id_a", "id_b", "cosine_sim"))
+
+
+def test_bucket_join_mega_cap_drops_bucket(spark):
+    from pprl_scaling_framework_spark.ops.bucket_join import salted_pair_candidates
+
+    rows = [("big", f"m{i}") for i in range(10)] + [("small", "x"), ("small", "y")]
+    keyed = spark.createDataFrame(rows, "bucket string, id string")
+    capped = salted_pair_candidates(keyed, ["bucket"], hot_threshold=2, shards=2, max_bucket=5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {("x", "y")}  # the 10-member mega bucket is dropped entirely
