@@ -73,3 +73,32 @@ def test_reference_schema_parser_roundtrip():
     p = parse_reference_schema(schema)
     assert p.source_fields == ("surname", "name", "address", "city")
     assert p.encoding_field.startswith("encoding_field_1024_10_2")
+
+
+def test_pprl_golden_config_matches_fixture():
+    """Guard: the checked-in goldens were generated for THIS pipeline config.
+
+    If _pprl_config or the fixture synth changes, the goldens must be
+    regenerated (tools/export_pprl_input.py + java tests/gen_pprl_golden) —
+    this test fails loudly instead of letting the driver oracle drift red.
+    """
+    import os
+    from pprl_scaling_framework_spark.entry_queries import _pprl_config, _PPRL_ENTITIES
+
+    golden = os.path.join(os.path.dirname(__file__), "golden")
+    props = dict(
+        line.strip().split("=")
+        for line in open(os.path.join(golden, "pprl_plan.properties"))
+        if "=" in line
+    )
+    cfg = _pprl_config()
+    plan = cfg.plan()
+    assert int(props["C"]) == plan.C and int(props["L"]) == plan.L
+    assert int(props["N"]) == cfg.encoding.N and int(props["K"]) == cfg.encoding.K
+    assert int(props["Q"]) == cfg.encoding.Q
+    assert int(props["hlsh_K"]) == cfg.hlsh_K and int(props["hlsh_seed"]) == cfg.hlsh_seed
+    assert float(props["threshold"]) == cfg.threshold
+    assert _PPRL_ENTITIES == 300
+    # input row count matches the export
+    with open(os.path.join(golden, "pprl_input.csv")) as f:
+        assert sum(1 for _ in f) - 1 == 620
