@@ -110,13 +110,31 @@ def connected_components(
     ).localCheckpoint()
 
     if driver_threshold and edges.count() <= driver_threshold:
-        rows = edges.collect()
         spark = pairs.sparkSession
+        # collect int64 xxhash64 surrogates, not uid strings: 16 B/edge vs
+        # ~hundreds of bytes — the 1M-edge driver fast path stays ~16 MB.
+        # (64-bit surrogates are collision-safe to ~10^8 vertices; the
+        # distributed path takes over well before that.)
+        sedges = edges.select(
+            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+        )
+        rows = sedges.collect()
         if not rows:
             return spark.createDataFrame([], "uid string, entity_id string")
-        return spark.createDataFrame(
-            _driver_union_find(rows), ["uid", "entity_id"]
+        comp = spark.createDataFrame(
+            _driver_union_find(rows), "rid long, root long"
         )
+        # re-attach uids and pick the component-min uid as entity_id —
+        # all distributed ops (nothing string-heavy crosses the driver)
+        rid_dict = (
+            edges.select(F.col("src").alias("uid"))
+            .unionAll(edges.select(F.col("dst").alias("uid")))
+            .distinct()
+            .withColumn("rid", F.xxhash64("uid"))
+        )
+        labeled = rid_dict.join(comp, "rid")
+        entity = labeled.groupBy("root").agg(F.min("uid").alias("entity_id"))
+        return labeled.join(entity, "root").select("uid", "entity_id")
     vertices = (
         edges.select(F.col("src").alias("uid"))
         .unionAll(edges.select(F.col("dst").alias("uid")))

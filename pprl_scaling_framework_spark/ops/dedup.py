@@ -32,18 +32,34 @@ def content_digest(col: str | Column) -> Column:
     return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
 
 
-def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """-> (digest, dup_count, representative, member_ids) for groups > 1."""
-    return (
-        df.select(F.col(id_col).alias("id"), content_digest(text_col).alias("digest"))
-        .groupBy("digest")
-        .agg(
-            F.count("*").alias("dup_count"),
-            F.min("id").alias("representative"),
-            F.sort_array(F.collect_list("id")).alias("member_ids"),
-        )
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_members: int | None = 100
+) -> DataFrame:
+    """-> (digest, dup_count, representative, member_ids) for groups > 1.
+
+    ``member_ids`` is capped at ``max_members`` BEFORE aggregation (window
+    rank, not a post-hoc slice) so a mega duplicate group never materializes
+    an unbounded array in one aggregation buffer. ``max_members=None`` drops
+    the column entirely — the scale path; counts and representatives never
+    need the roster.
+    """
+    keyed = df.select(F.col(id_col).alias("id"), content_digest(text_col).alias("digest"))
+    agg = (
+        keyed.groupBy("digest")
+        .agg(F.count("*").alias("dup_count"), F.min("id").alias("representative"))
         .filter(F.col("dup_count") > 1)
     )
+    if max_members is None:
+        return agg
+    from pyspark.sql.window import Window
+
+    ranked = keyed.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("digest").orderBy("id"))
+    ).filter(F.col("_rn") <= max_members)
+    members = ranked.groupBy("digest").agg(
+        F.sort_array(F.collect_list("id")).alias("member_ids")
+    )
+    return agg.join(members, "digest")
 
 
 def char_shingles(text: str | Column, q: int) -> Column:

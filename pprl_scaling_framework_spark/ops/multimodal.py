@@ -5,16 +5,22 @@ side — schema, partition sizing, Arrow batch shape, ``mapInPandas``
 signatures — is real and tested; the actual codec work is STUBBED because the
 media libraries are not in this container:
 
-- :func:`decode_image` raises NotImplementedError unless ``fake=True``, in
-  which case a deterministic fake decoder parses our 16-byte synthetic header
-  (magic 'FAKE', width, height, channels) — enough to exercise the full
-  distributed plumbing end to end.
+- :func:`decode_image` uses PIL when importable (real codec path); else a
+  deterministic fake decoder parses our 16-byte synthetic header (magic
+  'FAKE', width, height, channels) when ``fake=True`` — enough to exercise
+  the full distributed plumbing end to end — and raises NotImplementedError
+  otherwise (fail fast at plan-build time, not inside executors).
 """
 
 from __future__ import annotations
 
+import importlib.util
 import struct
 from typing import Iterator
+
+
+def _pil_available() -> bool:
+    return importlib.util.find_spec("PIL") is not None
 
 import numpy as np
 import pandas as pd
@@ -69,24 +75,45 @@ DECODED_SCHEMA = StructType([
 def decode_image(df: DataFrame, fake: bool = False, feature_bins: int = 8) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
-    Real codecs (PIL/opencv) are unavailable here — pass ``fake=True`` to use
-    the deterministic fake decoder; otherwise raises NotImplementedError at
-    plan-build time (not inside executors) to fail fast.
+    Codec resolution order:
+    - PIL importable -> real decoder (any PIL-supported format; the 'FAKE'
+      synthetic header is still handled so fixtures keep working);
+    - else ``fake=True`` -> deterministic fake decoder (synthetic header only);
+    - else NotImplementedError at plan-build time (not inside executors).
     """
-    if not fake:
+    use_pil = _pil_available()
+    if not use_pil and not fake:
         raise NotImplementedError(
             "image decoding requires PIL/opencv (not in this container); "
             "pass fake=True for the deterministic test decoder"
         )
 
+    def _pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+        if data[:4] == _MAGIC:
+            w, h, c = struct.unpack("<III", data[4:16])
+            return w, h, c, np.frombuffer(data[16:16 + w * h * c], dtype=np.uint8)
+        if use_pil:
+            import io
+
+            from PIL import Image
+
+            try:
+                img = Image.open(io.BytesIO(data))
+                arr = np.asarray(img)
+            except Exception:
+                return None
+            c = 1 if arr.ndim == 2 else arr.shape[2]
+            return img.width, img.height, c, arr.astype(np.uint8).ravel()
+        return None
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                if data[:4] != _MAGIC:
+                decoded = _pixels(bytes(data))
+                if decoded is None:
                     continue
-                w, h, c = struct.unpack("<III", data[4:16])
-                px = np.frombuffer(data[16:16 + w * h * c], dtype=np.uint8)
+                w, h, c, px = decoded
                 hist = np.histogram(px, bins=feature_bins, range=(0, 256))[0]
                 feats = (hist / max(px.size, 1)).astype(np.float32)
                 out.append((mid, w, h, c, float(px.mean()) if px.size else 0.0,

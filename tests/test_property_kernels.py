@@ -82,3 +82,18 @@ def test_em_outputs_are_probabilities(freqs):
     assert np.isfinite(res.m).all() and ((res.m >= -eps) & (res.m <= 1 + eps)).all()
     assert np.isfinite(res.u).all() and ((res.u >= -eps) & (res.u <= 1 + eps)).all()
     assert -eps <= res.p <= 1 + eps
+
+
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=32))
+@settings(max_examples=80, deadline=None)
+def test_jaro_winkler_batch_equals_scalar(pairs):
+    from pprl_scaling_framework_spark.matching.plaintext import (
+        jaro_winkler,
+        jaro_winkler_batch,
+    )
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    fast = jaro_winkler_batch(a, b)
+    slow = np.array([jaro_winkler(x, y) for x, y in zip(a, b)])
+    np.testing.assert_allclose(fast, slow, atol=1e-12)
