@@ -100,3 +100,20 @@ def test_stage_runner_failure_marks_failed(spark, tmp_path):
         runner.run("stage_bad", bad)
     assert runner.manifest["stages"]["stage_bad"]["status"] == "failed"
     assert not runner.completed("stage_bad")
+
+
+def test_mem_profiles_d5():
+    """D5: LO/HI profiles mirror MemProfileUtil's ladder + spec validation."""
+    import pytest
+
+    from pprl_scaling_framework_spark.sources.session import mem_profile_conf
+
+    lo, hi = mem_profile_conf("LO"), mem_profile_conf("HI")
+    assert lo["spark.executor.memory"] == "1g" and hi["spark.executor.memory"] == "2g"
+    # pair form resolves to the larger side
+    assert mem_profile_conf("LO/HI") == hi
+    assert mem_profile_conf("LO/LO") == lo
+    with pytest.raises(ValueError):
+        mem_profile_conf("MID")
+    with pytest.raises(ValueError):
+        mem_profile_conf("LO/HI/LO")
