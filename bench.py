@@ -31,8 +31,14 @@ N_ENTITIES = int(os.environ.get("BENCH_ENTITIES", str(int(200_000 * _SF_GUESS)))
 
 
 def build_spark(cpus: int):
+    import os
+
     from pprl_scaling_framework_spark.sources.session import build_session
 
+    # 24g heap: with 16-32 executor threads in one JVM, an 8g heap makes GC
+    # the scaling bottleneck (pure-CPU and DRAM probes both scale 4->16 at
+    # ~0.99 on this VM; the candidates stage didn't until the heap was raised)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = build_session(
         f"pprl-bench-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
@@ -188,27 +194,34 @@ def main() -> None:
         n_small = int(os.environ.get("SCALING_N", "4"))
         n_big = 4 * n_small
         n_scale = int(os.environ.get("SCALING_ENTITIES", "400000"))
-        reps = int(os.environ.get("SCALING_REPEAT", "2"))
+        reps = int(os.environ.get("SCALING_REPEAT", "3"))
         scaling = {"entities": n_scale, "reps": reps,
                    "stages": "collapse+encode+block+candidates+match"}
-        for cpus in (n_small, n_big):
-            sp = build_spark(cpus)
-            # JIT/arrow warm-up pass (unmeasured): a cold JVM penalizes the
-            # FIRST measured configuration by 10-30% and poisons the ratio
-            run_pipeline(sp, max(n_scale // 20, 10_000), cluster=False)
-            best = None
-            for _ in range(reps):
+        # one JIT/arrow warm-up for the shared JVM (unmeasured): a cold JVM
+        # penalizes whatever runs first by 10-30% and poisons the ratio
+        sp = build_spark(n_big)
+        run_pipeline(sp, max(n_scale // 20, 10_000), cluster=False)
+        sp.stop()
+        # INTERLEAVED reps (small, big, small, big, ...) so slow host drift
+        # (this VM swings 2-7x on identical code) hits both configs equally;
+        # best-of-reps is the least-contaminated estimate of code capability
+        best: dict[int, dict] = {}
+        for _ in range(reps):
+            for cpus in (n_small, n_big):
+                sp = build_spark(cpus)
                 r = run_pipeline(sp, n_scale, cluster=False)
-                if best is None or r["timings"]["total_ex_generate"] < best["timings"]["total_ex_generate"]:
-                    best = r
-            work = best["timings"]["total_ex_generate"]
-            thr = best["counts"]["records"] / work
+                sp.stop()
+                if cpus not in best or (r["timings"]["total_ex_generate"]
+                                        < best[cpus]["timings"]["total_ex_generate"]):
+                    best[cpus] = r
+        for cpus in (n_small, n_big):
+            work = best[cpus]["timings"]["total_ex_generate"]
+            thr = best[cpus]["counts"]["records"] / work
             scaling[f"local[{cpus}]"] = {
                 "total_sec": round(work, 2),
                 "records_per_sec": round(thr, 1),
-                "stage_sec": {k: round(v, 2) for k, v in best["timings"].items()},
+                "stage_sec": {k: round(v, 2) for k, v in best[cpus]["timings"].items()},
             }
-            sp.stop()
         t_n = scaling[f"local[{n_small}]"]["records_per_sec"]
         t_4n = scaling[f"local[{n_big}]"]["records_per_sec"]
         scaling["efficiency_N_to_4N"] = round((t_4n / t_n) / 4.0, 3)

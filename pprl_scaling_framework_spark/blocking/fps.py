@@ -62,8 +62,14 @@ def _salted_sides(
     - sz <= hot_threshold: salt 0.
     """
     sizes_b = keys_b.groupBy("group_id", "key").agg(F.count("*").alias("_bs"))
+    # proportional shard count: a bucket of size ~hot_threshold needs ~1
+    # shard, not `shards` — B-side replication (shuffle volume) scales with
+    # actual bucket size instead of a flat factor
+    n_shards = F.least(
+        F.lit(shards), F.ceil(F.col("_bs") / F.lit(hot_threshold)).cast("int")
+    )
     flagged = sizes_b.filter(F.col("_bs") > hot_threshold).select(
-        "group_id", "key",
+        "group_id", "key", n_shards.alias("_ns"),
         (F.col("_bs") > max_bucket if max_bucket is not None else F.lit(False)).alias("_mega"),
     )
     # flagged is bounded by total_keys / hot_threshold but still grows with
@@ -73,10 +79,10 @@ def _salted_sides(
         .filter(F.col("_mega").isNull() | ~F.col("_mega"))
         .withColumn(
             "salt",
-            F.when(F.col("_mega").isNotNull(), F.pmod(F.xxhash64("uid"), F.lit(shards)))
-            .otherwise(F.lit(0)),
+            F.when(F.col("_ns").isNotNull(), F.pmod(F.xxhash64("uid"), F.col("_ns").cast("long")))
+            .otherwise(F.lit(0).cast("long")),
         )
-        .drop("_mega")
+        .drop("_mega", "_ns")
     )
     b = (
         keys_b.join(flagged, ["group_id", "key"], "left")
@@ -84,12 +90,12 @@ def _salted_sides(
         .withColumn(
             "_salts",
             F.when(
-                F.col("_mega").isNotNull(),
-                F.sequence(F.lit(0), F.lit(shards - 1)),
-            ).otherwise(F.array(F.lit(0))),
+                F.col("_ns").isNotNull(),
+                F.sequence(F.lit(0).cast("long"), (F.col("_ns") - 1).cast("long")),
+            ).otherwise(F.array(F.lit(0).cast("long"))),
         )
         .withColumn("salt", F.explode("_salts"))
-        .drop("_salts", "_mega")
+        .drop("_salts", "_mega", "_ns")
     )
     return a, b
 

@@ -45,8 +45,13 @@ def salted_pair_candidates(
     single-signature LSH), where every pair already meets exactly once.
     """
     sizes = keyed.groupBy(*bucket_cols).agg(F.count("*").alias("_bs"))
+    # proportional shard count: replication (shuffle volume) scales with the
+    # actual bucket size instead of a flat `shards` factor
+    n_shards = F.least(
+        F.lit(shards), F.ceil(F.col("_bs") / F.lit(hot_threshold)).cast("int")
+    )
     flagged = sizes.filter(F.col("_bs") > hot_threshold).select(
-        *bucket_cols,
+        *bucket_cols, n_shards.alias("_ns"),
         (F.col("_bs") > max_bucket if max_bucket is not None else F.lit(False)).alias("_mega"),
     )
     # no forced broadcast: flagged grows with the corpus; AQE broadcasts it
@@ -56,18 +61,19 @@ def salted_pair_candidates(
     )
     a = marked.withColumn(
         "salt",
-        F.when(F.col("_mega").isNotNull(), F.pmod(F.xxhash64(id_col), F.lit(shards)))
-        .otherwise(F.lit(0)),
-    ).drop("_mega")
+        F.when(F.col("_ns").isNotNull(), F.pmod(F.xxhash64(id_col), F.col("_ns").cast("long")))
+        .otherwise(F.lit(0).cast("long")),
+    ).drop("_mega", "_ns")
     b = (
         marked.withColumn(
             "_salts",
             F.when(
-                F.col("_mega").isNotNull(), F.sequence(F.lit(0), F.lit(shards - 1))
-            ).otherwise(F.array(F.lit(0))),
+                F.col("_ns").isNotNull(),
+                F.sequence(F.lit(0).cast("long"), (F.col("_ns") - 1).cast("long")),
+            ).otherwise(F.array(F.lit(0).cast("long"))),
         )
         .withColumn("salt", F.explode("_salts"))
-        .drop("_salts", "_mega")
+        .drop("_salts", "_mega", "_ns")
     )
     sel_a = [F.col(f"a.{id_col}").alias("id_a")] + [
         F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols

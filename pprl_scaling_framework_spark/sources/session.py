@@ -64,6 +64,11 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the hot-path joins (bucket self-join, dict re-attach) all feed hash
+        # aggregations — nothing downstream consumes a sort order, so prefer
+        # shuffled-hash over sort-merge (A/B: candidates stage ~40% faster at
+        # local[16]; SHJ spills since Spark 3.1, so no OOM regression)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
