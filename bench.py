@@ -160,7 +160,7 @@ def main() -> None:
     # accounting) — the minimum measures the code, not the neighbors. Ops
     # queries run FIRST within each pass so they don't inherit the
     # pipeline's JVM GC/memory pressure.
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
     pipe = None
     for _ in range(repeat):
         ops = run_ops_queries(spark)

@@ -50,54 +50,19 @@ def _salted_sides(
 ) -> tuple[DataFrame, DataFrame]:
     """Attach salt columns; optionally drop uninformative mega-buckets.
 
-    Three tiers by bucket size sz (computed on the B side):
-    - sz > max_bucket (when set): DROPPED from both sides. Mega-buckets come
-      from low-information key patterns shared by thousands of records; they
-      contribute the vast majority of join volume while a true pair's C>=2
-      evidence overwhelmingly comes from its small buckets (E[collisions]
-      across L groups >> C for pairs under theta).
-    - hot_threshold < sz <= max_bucket: salted — A sharded deterministically
-      by uid, B replicated across shards (each pair still meets exactly once
-      per group, counts unchanged).
-    - sz <= hot_threshold: salt 0.
+    Delegates to the shared skew tiering in ``ops.bucket_join.salted_sides``
+    (same logic serves the LSH dedup/similarity operators). Mega-buckets
+    (> max_bucket) come from low-information key patterns shared by
+    thousands of records; they contribute the vast majority of join volume
+    while a true pair's C>=2 evidence overwhelmingly comes from its small
+    buckets (E[collisions] across L groups >> C for pairs under theta).
     """
-    sizes_b = keys_b.groupBy("group_id", "key").agg(F.count("*").alias("_bs"))
-    # proportional shard count: a bucket of size ~hot_threshold needs ~1
-    # shard, not `shards` — B-side replication (shuffle volume) scales with
-    # actual bucket size instead of a flat factor
-    n_shards = F.least(
-        F.lit(shards), F.ceil(F.col("_bs") / F.lit(hot_threshold)).cast("int")
+    from ..ops.bucket_join import salted_sides
+
+    return salted_sides(
+        keys_a, keys_b, ["group_id", "key"], "uid",
+        hot_threshold, shards, max_bucket,
     )
-    flagged = sizes_b.filter(F.col("_bs") > hot_threshold).select(
-        "group_id", "key", n_shards.alias("_ns"),
-        (F.col("_bs") > max_bucket if max_bucket is not None else F.lit(False)).alias("_mega"),
-    )
-    # flagged is bounded by total_keys / hot_threshold but still grows with
-    # the corpus — no forced broadcast; AQE broadcasts it while it fits
-    a = (
-        keys_a.join(flagged, ["group_id", "key"], "left")
-        .filter(F.col("_mega").isNull() | ~F.col("_mega"))
-        .withColumn(
-            "salt",
-            F.when(F.col("_ns").isNotNull(), F.pmod(F.xxhash64("uid"), F.col("_ns").cast("long")))
-            .otherwise(F.lit(0).cast("long")),
-        )
-        .drop("_mega", "_ns")
-    )
-    b = (
-        keys_b.join(flagged, ["group_id", "key"], "left")
-        .filter(F.col("_mega").isNull() | ~F.col("_mega"))
-        .withColumn(
-            "_salts",
-            F.when(
-                F.col("_ns").isNotNull(),
-                F.sequence(F.lit(0).cast("long"), (F.col("_ns") - 1).cast("long")),
-            ).otherwise(F.array(F.lit(0).cast("long"))),
-        )
-        .withColumn("salt", F.explode("_salts"))
-        .drop("_salts", "_mega", "_ns")
-    )
-    return a, b
 
 
 def candidate_pairs(

@@ -1,17 +1,17 @@
-"""Skew-safe bucketed self-join for candidate-pair generation.
+"""Skew-safe bucketed joins for candidate-pair generation.
 
-Shared by the LSH dedup/similarity operators (minhash bands, simhash bands,
-hyperplane buckets, explicit blocks). Same tiering as the PPRL FPS blocking
-path (``blocking/fps._salted_sides``): one degenerate bucket — empty
-documents, boilerplate headers, zero vectors — otherwise lands in a single
-shuffle task and goes quadratic there.
+Shared by the PPRL FPS blocking path (``blocking/fps``) and the LSH
+dedup/similarity operators (minhash bands, simhash bands, hyperplane
+buckets, explicit blocks): one degenerate bucket — empty documents,
+boilerplate headers, zero vectors, low-entropy blocking keys — otherwise
+lands in a single shuffle task and goes quadratic there.
 
 Salting is pair-set-invariant: the A side of a hot bucket is sharded
-deterministically by ``xxhash64(id) % shards``; the B side is replicated
-across all shards, so every (a, b) combination still meets exactly once per
-bucket. The canonical ``id_a < id_b`` filter and the cross-band ``distinct``
-are unchanged, hence the verified output is bit-identical with salting on or
-off (asserted by ``tests/test_ops.py``).
+deterministically by ``xxhash64(id) % n_shards``; the B side is replicated
+across those shards, so every (a, b) combination still meets exactly once
+per bucket. ``n_shards`` is proportional to the actual bucket size
+(``ceil(size / hot_threshold)``, capped at ``shards``) so replication —
+i.e. shuffle volume — scales with the skew instead of a flat factor.
 
 Optional ``max_bucket`` drops buckets above a hard cap (changes the output —
 off by default; for 100 TB runs where a boilerplate bucket's pairs are
@@ -22,6 +22,62 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def salted_sides(
+    keys_a: DataFrame,
+    keys_b: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    hot_threshold: int,
+    shards: int,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Attach ``salt`` columns for a skew-safe join on ``bucket_cols + salt``.
+
+    Bucket sizes are measured on the B side. Three tiers by size ``sz``:
+
+    - ``sz > max_bucket`` (when set): DROPPED from both sides;
+    - ``hot_threshold < sz <= max_bucket``: salted — A sharded
+      deterministically by id hash over ``ceil(sz / hot_threshold)`` shards
+      (capped at ``shards``), B replicated across those shards; every pair
+      still meets exactly once per bucket, counts unchanged;
+    - ``sz <= hot_threshold``: salt 0.
+    """
+    sizes = keys_b.groupBy(*bucket_cols).agg(F.count("*").alias("_bs"))
+    n_shards = F.least(
+        F.lit(shards), F.ceil(F.col("_bs") / F.lit(hot_threshold)).cast("int")
+    )
+    flagged = sizes.filter(F.col("_bs") > hot_threshold).select(
+        *bucket_cols, n_shards.alias("_ns"),
+        (F.col("_bs") > max_bucket if max_bucket is not None else F.lit(False)).alias("_mega"),
+    )
+    # no forced broadcast: flagged grows with the corpus; AQE broadcasts it
+    # while it fits
+    a = (
+        keys_a.join(flagged, bucket_cols, "left")
+        .filter(F.col("_mega").isNull() | ~F.col("_mega"))
+        .withColumn(
+            "salt",
+            F.when(F.col("_ns").isNotNull(), F.pmod(F.xxhash64(id_col), F.col("_ns").cast("long")))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .drop("_mega", "_ns")
+    )
+    b = (
+        keys_b.join(flagged, bucket_cols, "left")
+        .filter(F.col("_mega").isNull() | ~F.col("_mega"))
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_ns").isNotNull(),
+                F.sequence(F.lit(0).cast("long"), (F.col("_ns") - 1).cast("long")),
+            ).otherwise(F.array(F.lit(0).cast("long"))),
+        )
+        .withColumn("salt", F.explode("_salts"))
+        .drop("_salts", "_mega", "_ns")
+    )
+    return a, b
 
 
 def salted_pair_candidates(
@@ -44,36 +100,8 @@ def salted_pair_candidates(
     cheaper) when each id appears in exactly ONE bucket (explicit blocks,
     single-signature LSH), where every pair already meets exactly once.
     """
-    sizes = keyed.groupBy(*bucket_cols).agg(F.count("*").alias("_bs"))
-    # proportional shard count: replication (shuffle volume) scales with the
-    # actual bucket size instead of a flat `shards` factor
-    n_shards = F.least(
-        F.lit(shards), F.ceil(F.col("_bs") / F.lit(hot_threshold)).cast("int")
-    )
-    flagged = sizes.filter(F.col("_bs") > hot_threshold).select(
-        *bucket_cols, n_shards.alias("_ns"),
-        (F.col("_bs") > max_bucket if max_bucket is not None else F.lit(False)).alias("_mega"),
-    )
-    # no forced broadcast: flagged grows with the corpus; AQE broadcasts it
-    # while it fits
-    marked = keyed.join(flagged, bucket_cols, "left").filter(
-        F.col("_mega").isNull() | ~F.col("_mega")
-    )
-    a = marked.withColumn(
-        "salt",
-        F.when(F.col("_ns").isNotNull(), F.pmod(F.xxhash64(id_col), F.col("_ns").cast("long")))
-        .otherwise(F.lit(0).cast("long")),
-    ).drop("_mega", "_ns")
-    b = (
-        marked.withColumn(
-            "_salts",
-            F.when(
-                F.col("_ns").isNotNull(),
-                F.sequence(F.lit(0).cast("long"), (F.col("_ns") - 1).cast("long")),
-            ).otherwise(F.array(F.lit(0).cast("long"))),
-        )
-        .withColumn("salt", F.explode("_salts"))
-        .drop("_salts", "_mega", "_ns")
+    a, b = salted_sides(
+        keyed, keyed, bucket_cols, id_col, hot_threshold, shards, max_bucket
     )
     sel_a = [F.col(f"a.{id_col}").alias("id_a")] + [
         F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols

@@ -33,15 +33,16 @@ def content_digest(col: str | Column) -> Column:
 
 
 def exact_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_members: int | None = 100
+    df: DataFrame, id_col: str, text_col: str, max_members: int | None = None
 ) -> DataFrame:
-    """-> (digest, dup_count, representative, member_ids) for groups > 1.
+    """-> (digest, dup_count, representative[, member_ids]) for groups > 1.
 
-    ``member_ids`` is capped at ``max_members`` BEFORE aggregation (window
-    rank, not a post-hoc slice) so a mega duplicate group never materializes
-    an unbounded array in one aggregation buffer. ``max_members=None`` drops
-    the column entirely — the scale path; counts and representatives never
-    need the roster.
+    By default (``max_members=None``) no member roster is built — counts and
+    representatives never need it, and a mega duplicate group would
+    otherwise materialize an unbounded array in one aggregation buffer.
+    Passing ``max_members=K`` adds ``member_ids`` capped at K BEFORE
+    aggregation (window rank, not a post-hoc slice); note ``dup_count`` is
+    the TRUE group size, so ``len(member_ids) < dup_count`` marks truncation.
     """
     keyed = df.select(F.col(id_col).alias("id"), content_digest(text_col).alias("digest"))
     agg = (

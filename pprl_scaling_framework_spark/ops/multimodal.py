@@ -95,7 +95,13 @@ def decode_image(df: DataFrame, fake: bool = False, feature_bins: int = 8) -> Da
         if use_pil:
             import io
 
-            from PIL import Image
+            try:
+                from PIL import Image
+            except ImportError as exc:  # driver had PIL, executor doesn't
+                raise RuntimeError(
+                    "PIL importable on the driver but not on executors — "
+                    "ship it via --py-files/conda env or pass fake=True"
+                ) from exc
 
             try:
                 img = Image.open(io.BytesIO(data))

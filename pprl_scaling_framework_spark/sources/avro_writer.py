@@ -35,11 +35,18 @@ def _zigzag(n: int) -> bytes:
             return bytes(out)
 
 
-def _write_value(buf: io.BytesIO, schema, value) -> None:
+def _write_value(buf: io.BytesIO, schema, value, field: str = "<root>") -> None:
     t = schema if isinstance(schema, str) else schema["type"]
+    if t != "record" and value is None:
+        # clear error instead of an opaque executor AttributeError; avro
+        # nulls need union types, which this minimal writer doesn't support
+        raise ValueError(
+            f"null value for field {field!r} — avro union/null types are not "
+            "supported by this writer; fill or drop nulls before writing"
+        )
     if t == "record":
         for f in schema["fields"]:
-            _write_value(buf, f["type"], value[f["name"]])
+            _write_value(buf, f["type"], value[f["name"]], field=f["name"])
     elif t == "string":
         data = value.encode("utf-8")
         buf.write(_zigzag(len(data)))

@@ -209,9 +209,11 @@ def read_dblp_xml(
     n = target_splits or spark.sparkContext.defaultParallelism
     n = max(1, min(n, size))
     bounds = [(path, size * i // n, size * (i + 1) // n) for i in range(n)]
+    # round-robin repartition: hashing `start` would leave ~1/e of the n
+    # tasks empty and stack multiple ranges on others
     ranges = spark.createDataFrame(
         bounds, "path string, start long, `end` long"
-    ).repartition(n, "start")
+    ).repartition(n)
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -25,7 +25,7 @@ def emb(spark):
 
 
 def test_exact_duplicates(docs):
-    dups = dedup.exact_duplicates(docs, "doc_id", "text")
+    dups = dedup.exact_duplicates(docs, "doc_id", "text", max_members=100)
     rows = dups.collect()
     # verify against a driver-side recomputation
     import collections
@@ -36,6 +36,17 @@ def test_exact_duplicates(docs):
     want = {tuple(sorted(v)) for v in groups.values() if len(v) > 1}
     got = {tuple(r["member_ids"]) for r in rows}
     assert got == want
+    # scale default: no roster column at all
+    assert "member_ids" not in dedup.exact_duplicates(docs, "doc_id", "text").columns
+    # capping marks truncation via len(member_ids) < dup_count
+    many = docs.sparkSession.createDataFrame(
+        [(f"d{i}", "same") for i in range(7)] + [("x", "other"), ("y", "other")],
+        "doc_id string, text string",
+    )
+    capped = {r["digest"]: r for r in
+              dedup.exact_duplicates(many, "doc_id", "text", max_members=3).collect()}
+    big = next(r for r in capped.values() if r["dup_count"] == 7)
+    assert big["member_ids"] == ["d0", "d1", "d2"] and big["dup_count"] == 7
 
 
 def test_char_shingles_and_jaccard(spark):
@@ -160,8 +171,13 @@ def test_multimodal_plumbing(spark):
     for r in rows:
         assert len(r["features"]) == 8
         assert abs(sum(r["features"]) - 1.0) < 1e-5
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(media, fake=False)
+    if not multimodal._pil_available():
+        # without a codec the non-fake path must fail at plan-build time
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(media, fake=False)
+    else:
+        # with PIL present the real path still decodes the synthetic header
+        assert multimodal.decode_image(media, fake=False).count() == 20
     resized = multimodal.resize_plumbing(media, (4, 4), fake=True)
     assert resized.count() == 20
 
