@@ -228,3 +228,13 @@ def test_fs_log_likelihood_sign():
     )
     ll = em.fs_log_likelihood(np.array([[True, True], [False, False]]), res)
     assert ll[0] > 0 > ll[1]
+
+
+def test_xxhash64_spec_vectors():
+    """Pure-Python XXH64 sanity on the published reference test vectors."""
+    from pprl_scaling_framework_spark.core.xxhash64 import hash_bytes
+
+    # xxHash reference: XXH64("", seed=0) and known short-string vectors
+    assert hash_bytes(b"", 0) == 0xEF46DB3751D8E999
+    assert hash_bytes(b"a", 0) == 0xD24EC4F1A98C6E5B
+    assert hash_bytes(b"abc", 0) == 0x44BC2CF5AD770999
