@@ -30,7 +30,10 @@ from pprl_scaling_framework_spark.entry_queries import (  # noqa: E402
     _ANN_SEED,
 )
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden", "ann_lsh_topk.csv")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+OUT = os.path.join(GOLDEN_DIR, "ann_lsh_topk.csv")
+OUT_NEAR_DUP = os.path.join(GOLDEN_DIR, "emb_near_dup_lsh.csv")
+NEAR_DUP_THRESHOLD = 0.2  # matches q_emb_near_dup_lsh
 
 
 def synth_vector(vec_id: int) -> list[float]:
@@ -91,6 +94,22 @@ def main() -> None:
         for r in rows:
             w.writerow([r[0], r[1], r[2], repr(r[3])])
     print(f"golden written: {len(rows)} rows -> {OUT}")
+
+    # bucketed near-dup pairs: all same-bucket (a < b) pairs above threshold
+    nd = []
+    for a in range(_ANN_N):
+        for b in range(a + 1, _ANN_N):
+            if buckets[a] != buckets[b]:
+                continue
+            sim = round6(cosine(vecs[a], vecs[b]))
+            if sim >= NEAR_DUP_THRESHOLD:
+                nd.append((a, b, sim))
+    with open(OUT_NEAR_DUP, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id_a", "id_b", "cosine_sim"])
+        for r in nd:
+            w.writerow([r[0], r[1], repr(r[2])])
+    print(f"golden written: {len(nd)} rows -> {OUT_NEAR_DUP}")
 
 
 if __name__ == "__main__":
