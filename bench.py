@@ -42,6 +42,7 @@ def build_spark(cpus: int):
     spark = build_session(
         f"pprl-bench-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
+        prefer_shuffled_hash=True,
     )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
@@ -59,8 +60,24 @@ def bench_config():
     )
 
 
-def run_pipeline(spark, n_entities: int, cluster: bool = True) -> dict:
-    """Flagship pipeline with per-stage wall times; returns timings + counts."""
+def run_pipeline(
+    spark, n_entities: int, cluster: bool = True,
+    input_path: str | None = None, fused: bool = False,
+) -> dict:
+    """Flagship pipeline with per-stage wall times; returns timings + counts.
+
+    ``input_path``: read a pre-generated records parquet instead of
+    synthesizing inline (the scaling probe generates ONCE at full parallelism
+    so every measured config runs the identical bytes; load stays excluded
+    from the work metric either way).
+
+    ``fused``: skip the per-stage count() barriers and materialize the whole
+    encode->block->candidates->match chain with a single action — how a real
+    spark-submit job runs. The staged mode's 5 extra driver jobs (persist
+    barriers + AQE re-plans per stage) are pure parallelism-independent
+    overhead that distorts the N-vs-4N ratio; fused mode only keeps the
+    persists that prevent recompute (encoded, keys feed multiple consumers).
+    """
     from pyspark.sql import functions as F
 
     from pprl_scaling_framework_spark.blocking import fps, hlsh
@@ -84,11 +101,35 @@ def run_pipeline(spark, n_entities: int, cluster: bool = True) -> dict:
 
     t0 = time.time()
     s = time.time()
-    records = repos_src.with_uid_and_sha(
-        repos_src.synth_repos(spark, n_entities=n_entities, seed=42, skew_every=50)
-    ).persist()
+    if input_path is not None:
+        records = spark.read.parquet(input_path).persist()
+    else:
+        records = repos_src.with_uid_and_sha(
+            repos_src.synth_repos(spark, n_entities=n_entities, seed=42, skew_every=50)
+        ).persist()
     counts["records"] = records.count()
     t["generate"] = time.time() - s
+
+    if fused:
+        assert not cluster, "fused mode measures the linear chain only"
+        s = time.time()
+        rep_records, uid_to_rep = collapse_exact_duplicates(records, "uid", "content")
+        encoded = encode_dataframe(rep_records, cfg.encoding, included=["uid"]).persist()
+        pos = hlsh.position_matrix(plan.L, cfg.hlsh_K, n_bits, cfg.hlsh_seed)
+        keys = hlsh.blocking_keys(encoded, "uid", "bf", pos, n_bits).persist()
+        cands = fps.candidate_pairs(
+            keys, None, C=plan.C, hot_threshold=cfg.hot_threshold,
+            shards=cfg.salt_shards, self_join=True,
+            max_bucket=cfg.max_bucket, uids_a=encoded,
+        )
+        matches = matched_pairs(cands, encoded, cfg.method, cfg.threshold, n_bits)
+        counts["matched_pairs"] = matches.count()
+        t["work"] = time.time() - s
+        t["total"] = time.time() - t0
+        t["total_ex_generate"] = t["work"]
+        for df in (records, encoded, keys):
+            df.unpersist()
+        return {"timings": t, "counts": counts, "plan": {"C": plan.C, "L": plan.L}}
 
     s = time.time()
     rep_records, uid_to_rep = collapse_exact_duplicates(records, "uid", "content")
@@ -150,6 +191,105 @@ def run_ops_queries(spark) -> dict[str, float]:
     return out
 
 
+def _ceiling_probe(spark, n: int) -> float:
+    """Pure-codegen zero-shuffle probe: how well can ANY Spark job scale on
+    this single-JVM VM? (Sum of xxhash64 over spark.range — no Python, no
+    shuffle, no disk.) The engine's measured efficiency should be read
+    against this ceiling, not against 1.0."""
+    from pyspark.sql import functions as F
+
+    s = time.time()
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 2).select(
+        F.sum(F.xxhash64("id"))
+    ).collect()
+    return time.time() - s
+
+
+def run_scaling_probe() -> dict:
+    """N-vs-4N parallelism evidence (the BASELINE.json north-rule criterion).
+
+    Design notes (each measured; see BENCH.md):
+    - Pairs default to 4:16 with 2:8 alongside: this VM exposes 32
+      hyperthreads over ~16 PHYSICAL cores (8->32 hardware-caps at ~0.68 for
+      any workload, measured with a no-Spark multiprocessing sha256 probe),
+      so both measured pairs stay within physical cores. A real N->4N
+      EXECUTOR scale-out has separate JVMs/memory buses — in-VM ratios are
+      lower bounds.
+    - Input is generated ONCE at full parallelism and written to parquet;
+      every measured config reads the identical bytes (load excluded from
+      the work metric, as input synthesis was before).
+    - fused=True: the chain materializes with ONE action like a real
+      spark-submit job — the staged mode's per-stage count() barriers are
+      parallelism-independent driver overhead that caps the ratio.
+    - INTERLEAVED reps (small, big, small, big, ...) after a JIT warm-up so
+      slow host drift (this VM swings 2-7x on identical code) hits both
+      configs equally; best-of-reps is the least-contaminated estimate.
+    - A pure-codegen zero-shuffle ceiling probe runs at each parallelism:
+      the single-JVM driver bounds ANY Spark job below 1.0 here.
+    """
+    import shutil
+
+    from pprl_scaling_framework_spark.sources import repos as repos_src
+
+    pairs = [
+        tuple(int(x) for x in p.split(":"))
+        for p in os.environ.get("SCALING_PAIRS", "4:16").split(",")
+    ]
+    n_scale = int(os.environ.get("SCALING_ENTITIES", "1600000"))
+    reps = int(os.environ.get("SCALING_REPEAT", "3"))
+    probe_rows = int(os.environ.get("SCALING_PROBE_ROWS", str(15_000_000_000)))
+    input_path = f"/dev/shm/pprl-bench-input-{n_scale}"
+    scaling: dict = {"entities": n_scale, "reps": reps, "pairs": pairs,
+                     "fused": True, "stages": "collapse+encode+block+candidates+match"}
+
+    # generate once at full parallelism; all configs read the same bytes
+    sp = build_spark(CPUS)
+    if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+        shutil.rmtree(input_path, ignore_errors=True)
+        repos_src.with_uid_and_sha(
+            repos_src.synth_repos(sp, n_entities=n_scale, seed=42, skew_every=50)
+        ).write.mode("overwrite").parquet(input_path)
+    # JIT/arrow warm-up for the shared JVM (unmeasured): a cold JVM penalizes
+    # whatever runs first by 10-30% and poisons the ratio
+    run_pipeline(sp, max(n_scale // 40, 10_000), cluster=False, fused=True)
+    sp.stop()
+
+    cpus_list = sorted({c for p in pairs for c in p})
+    best: dict[int, dict] = {}
+    ceil_t: dict[int, float] = {}
+    for rep in range(reps):
+        for cpus in cpus_list:
+            sp = build_spark(cpus)
+            r = run_pipeline(sp, n_scale, cluster=False, input_path=input_path, fused=True)
+            if rep == 0:
+                ceil_t[cpus] = _ceiling_probe(sp, probe_rows)
+            sp.stop()
+            if cpus not in best or (r["timings"]["total_ex_generate"]
+                                    < best[cpus]["timings"]["total_ex_generate"]):
+                best[cpus] = r
+    for cpus in cpus_list:
+        work = best[cpus]["timings"]["total_ex_generate"]
+        thr = best[cpus]["counts"]["records"] / work
+        scaling[f"local[{cpus}]"] = {
+            "total_sec": round(work, 2),
+            "records_per_sec": round(thr, 1),
+            "ceiling_probe_sec": round(ceil_t[cpus], 2),
+        }
+    for n_small, n_big in pairs:
+        t_n = scaling[f"local[{n_small}]"]["records_per_sec"]
+        t_4n = scaling[f"local[{n_big}]"]["records_per_sec"]
+        factor = n_big / n_small
+        eff = round((t_4n / t_n) / factor, 3)
+        ceil_eff = round(
+            (ceil_t[n_small] / ceil_t[n_big]) / factor, 3
+        )
+        scaling[f"efficiency_{n_small}_to_{n_big}"] = eff
+        scaling[f"ceiling_{n_small}_to_{n_big}"] = ceil_eff
+        if (n_small, n_big) == pairs[0]:
+            scaling["efficiency_N_to_4N"] = eff
+    return scaling
+
+
 def main() -> None:
     results_queries: dict[str, float] = {}
     extra: dict = {}
@@ -160,7 +300,7 @@ def main() -> None:
     # accounting) — the minimum measures the code, not the neighbors. Ops
     # queries run FIRST within each pass so they don't inherit the
     # pipeline's JVM GC/memory pressure.
-    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "3")))
     pipe = None
     for _ in range(repeat):
         ops = run_ops_queries(spark)
@@ -184,48 +324,7 @@ def main() -> None:
     spark.stop()
 
     if os.environ.get("BENCH_SCALING") == "1":
-        # N-vs-4N parallelism probe (default local[4] vs local[16]: this VM
-        # exposes 32 hyperthreads over ~16 physical cores, so 8->32 caps at
-        # ~0.68 even for embarrassingly parallel work — measured with an
-        # independent multiprocessing sha256 probe). Input sized so compute
-        # dominates fixed costs; connected components excluded (driver-
-        # coordinated iteration = fixed latency, not parallel work); input
-        # generation excluded from the work metric.
-        n_small = int(os.environ.get("SCALING_N", "4"))
-        n_big = 4 * n_small
-        n_scale = int(os.environ.get("SCALING_ENTITIES", "400000"))
-        reps = int(os.environ.get("SCALING_REPEAT", "3"))
-        scaling = {"entities": n_scale, "reps": reps,
-                   "stages": "collapse+encode+block+candidates+match"}
-        # one JIT/arrow warm-up for the shared JVM (unmeasured): a cold JVM
-        # penalizes whatever runs first by 10-30% and poisons the ratio
-        sp = build_spark(n_big)
-        run_pipeline(sp, max(n_scale // 20, 10_000), cluster=False)
-        sp.stop()
-        # INTERLEAVED reps (small, big, small, big, ...) so slow host drift
-        # (this VM swings 2-7x on identical code) hits both configs equally;
-        # best-of-reps is the least-contaminated estimate of code capability
-        best: dict[int, dict] = {}
-        for _ in range(reps):
-            for cpus in (n_small, n_big):
-                sp = build_spark(cpus)
-                r = run_pipeline(sp, n_scale, cluster=False)
-                sp.stop()
-                if cpus not in best or (r["timings"]["total_ex_generate"]
-                                        < best[cpus]["timings"]["total_ex_generate"]):
-                    best[cpus] = r
-        for cpus in (n_small, n_big):
-            work = best[cpus]["timings"]["total_ex_generate"]
-            thr = best[cpus]["counts"]["records"] / work
-            scaling[f"local[{cpus}]"] = {
-                "total_sec": round(work, 2),
-                "records_per_sec": round(thr, 1),
-                "stage_sec": {k: round(v, 2) for k, v in best[cpus]["timings"].items()},
-            }
-        t_n = scaling[f"local[{n_small}]"]["records_per_sec"]
-        t_4n = scaling[f"local[{n_big}]"]["records_per_sec"]
-        scaling["efficiency_N_to_4N"] = round((t_4n / t_n) / 4.0, 3)
-        extra["scaling"] = scaling
+        extra["scaling"] = run_scaling_probe()
 
     print(json.dumps({
         "metric": "pprl_e2e_seconds",

@@ -102,7 +102,9 @@ def candidate_pairs(
         src_b = uids_b.select("uid") if uids_b is not None else keys_b.select("uid").distinct()
         dict_b = src_b.withColumn("rid", F.xxhash64("uid"))
     ka = keys_a.select(F.xxhash64("uid").alias("uid"), "group_id", "key")
-    kb = keys_b.select(F.xxhash64("uid").alias("uid"), "group_id", "key")
+    # same OBJECT for a self-join: salted_sides sizes buckets on one side
+    # when `keys_a is keys_b` and on the union of both sides otherwise
+    kb = ka if self_join else keys_b.select(F.xxhash64("uid").alias("uid"), "group_id", "key")
 
     a, b = _salted_sides(ka, kb, hot_threshold, shards, max_bucket)
     joined = a.alias("a").join(

@@ -35,7 +35,10 @@ def salted_sides(
 ) -> tuple[DataFrame, DataFrame]:
     """Attach ``salt`` columns for a skew-safe join on ``bucket_cols + salt``.
 
-    Bucket sizes are measured on the B side. Three tiers by size ``sz``:
+    Bucket sizes are measured on the B side for a self-join (``keys_a is
+    keys_b``) and on the UNION of both sides otherwise — a bucket hot on only
+    one side (e.g. the A party of a two-party linkage) must still be salted,
+    or all its rows land in one shuffle task. Three tiers by size ``sz``:
 
     - ``sz > max_bucket`` (when set): DROPPED from both sides;
     - ``hot_threshold < sz <= max_bucket``: salted — A sharded
@@ -44,7 +47,12 @@ def salted_sides(
       still meets exactly once per bucket, counts unchanged;
     - ``sz <= hot_threshold``: salt 0.
     """
-    sizes = keys_b.groupBy(*bucket_cols).agg(F.count("*").alias("_bs"))
+    size_src = (
+        keys_b.select(*bucket_cols)
+        if keys_a is keys_b
+        else keys_a.select(*bucket_cols).unionByName(keys_b.select(*bucket_cols))
+    )
+    sizes = size_src.groupBy(*bucket_cols).agg(F.count("*").alias("_bs"))
     n_shards = F.least(
         F.lit(shards), F.ceil(F.col("_bs") / F.lit(hot_threshold)).cast("int")
     )
@@ -89,6 +97,7 @@ def salted_pair_candidates(
     shards: int = 16,
     max_bucket: int | None = None,
     dedup: bool = True,
+    keep_bucket_cols: bool = False,
 ) -> DataFrame:
     """-> distinct (id_a, id_b[, <payload>_a, <payload>_b]) with id_a < id_b.
 
@@ -99,6 +108,9 @@ def salted_pair_candidates(
     ``dedup=False`` skips the final distinct — correct (and one shuffle
     cheaper) when each id appears in exactly ONE bucket (explicit blocks,
     single-signature LSH), where every pair already meets exactly once.
+
+    ``keep_bucket_cols=True`` includes the bucket columns in the output
+    (useful when the caller's result is keyed by block, e.g. J1).
     """
     a, b = salted_sides(
         keyed, keyed, bucket_cols, id_col, hot_threshold, shards, max_bucket
@@ -109,6 +121,8 @@ def salted_pair_candidates(
     sel_b = [F.col(f"b.{id_col}").alias("id_b")] + [
         F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols
     ]
+    if keep_bucket_cols:
+        sel_a += [F.col(f"a.{c}") for c in bucket_cols]
     out = (
         a.alias("a")
         .join(b.alias("b"), [*bucket_cols, "salt"])

@@ -35,11 +35,29 @@ def _zigzag(n: int) -> bytes:
             return bytes(out)
 
 
+def _is_null(value) -> bool:
+    """None or a pandas null scalar (NaN/pd.NA/NaT) — arrays/bytes are never
+    null here (pd.isna on them returns an array, which we must not truthy)."""
+    if value is None:
+        return True
+    if isinstance(value, (list, tuple, dict, bytes, bytearray, str)):
+        return False
+    try:
+        import pandas as pd
+
+        res = pd.isna(value)
+        return bool(res) if not hasattr(res, "__len__") else False
+    except Exception:
+        return False
+
+
 def _write_value(buf: io.BytesIO, schema, value, field: str = "<root>") -> None:
     t = schema if isinstance(schema, str) else schema["type"]
-    if t != "record" and value is None:
+    if t != "record" and _is_null(value):
         # clear error instead of an opaque executor AttributeError; avro
-        # nulls need union types, which this minimal writer doesn't support
+        # nulls need union types, which this minimal writer doesn't support.
+        # (_is_null also catches the NaN/pd.NA that pandas to_dict yields for
+        # missing values — those would otherwise fail deep in executors)
         raise ValueError(
             f"null value for field {field!r} — avro union/null types are not "
             "supported by this writer; fill or drop nulls before writing"

@@ -172,12 +172,23 @@ class _Scanner:
                 return  # next record belongs to the following range
             key = self._read_key_attribute()
             if self.eof:
-                return
+                # a record owned by this range is still open at buffer end:
+                # either it extends > RANGE_OVERRUN past the range end or the
+                # file itself is truncated — data loss, not a clean boundary
+                raise ValueError(
+                    f"record starting at byte {tag_pos} extends past the "
+                    f"buffer end (range overrun > {RANGE_OVERRUN} bytes or "
+                    "truncated file); refusing to drop it silently"
+                )
             if key is None:
                 continue  # malformed record (no key in start tag): skip it
             vals = self._read_secondary_values()
             if vals is None:
-                return
+                raise ValueError(
+                    f"record {key!r} (start byte {tag_pos}) has no closing "
+                    f"tag within the buffer (range overrun > {RANGE_OVERRUN} "
+                    "bytes or truncated file); refusing to drop it silently"
+                )
             yield (key, *vals)
 
 

@@ -53,7 +53,17 @@ def build_session(
     arrow_max_records: int = 10_000,
     extra_conf: dict | None = None,
     mem_profile: str | None = None,
+    prefer_shuffled_hash: bool = False,
 ) -> SparkSession:
+    """``prefer_shuffled_hash``: sets spark.sql.join.preferSortMergeJoin=false.
+    Opt-in for hot-path PPRL sessions (bench, submit) where every big join
+    feeds a hash aggregation and no sort order is consumed downstream — A/B:
+    candidates stage ~40% faster at local[16]. NOT the library default:
+    shuffled-hash build sides can still exceed a partition's memory after bad
+    size estimates (e.g. downstream of Python-UDF stages, where Spark's
+    stats are guesses), and SMJ's sort-spill path is the safer general
+    default even though SHJ has spill support since Spark 3.1.
+    """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 32)
@@ -64,11 +74,6 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # the hot-path joins (bucket self-join, dict re-attach) all feed hash
-        # aggregations — nothing downstream consumes a sort order, so prefer
-        # shuffled-hash over sort-merge (A/B: candidates stage ~40% faster at
-        # local[16]; SHJ spills since Spark 3.1, so no OOM regression)
-        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -79,6 +84,8 @@ def build_session(
         # shuffle-heavy stages; /dev/shm keeps them memory-speed
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
+    if prefer_shuffled_hash:
+        b = b.config("spark.sql.join.preferSortMergeJoin", "false")
     if mem_profile:
         for k, v in mem_profile_conf(mem_profile).items():
             b = b.config(k, v)
