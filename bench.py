@@ -199,8 +199,9 @@ def _ceiling_probe(spark, n: int) -> float:
     from pyspark.sql import functions as F
 
     s = time.time()
+    # pmod keeps the ANSI sum far from long overflow at any probe size
     spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 2).select(
-        F.sum(F.xxhash64("id"))
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1000)))
     ).collect()
     return time.time() - s
 
