@@ -1,15 +1,22 @@
-"""Multimodal (image/audio/video) column plumbing.
+"""Multimodal (image/audio/video) columns: opaque ``binary`` payloads with a
+typed metadata struct, decoded/feature-extracted via ``mapInPandas``
+(Arrow-batched; never per-row Python).
 
-Media are opaque ``binary`` columns with a typed metadata struct. The Spark
-side — schema, partition sizing, Arrow batch shape, ``mapInPandas``
-signatures — is real and tested; the actual codec work is STUBBED because the
-media libraries are not in this container:
+Codec layer (no external media libraries needed):
 
-- :func:`decode_image` uses PIL when importable (real codec path); else a
-  deterministic fake decoder parses our 16-byte synthetic header (magic
-  'FAKE', width, height, channels) when ``fake=True`` — enough to exercise
-  the full distributed plumbing end to end — and raises NotImplementedError
-  otherwise (fail fast at plan-build time, not inside executors).
+- **PPM (P6)** and **BMP (24-bit uncompressed)** images and **WAV (PCM)**
+  audio are decoded by REAL pure-Python parsers of the published formats —
+  exercised end to end in this container and golden-tested against an
+  independent reimplementation (tools/gen_media_golden.py, ``media_decode``
+  / ``media_audio`` driver queries).
+- PIL, when importable, extends :func:`decode_image` to compressed formats
+  (JPEG/PNG/...).
+- The 16-byte 'FAKE' synthetic header remains as the plumbing-test format.
+- Video frame-sampling remains a stub: there is no container-parsing-only
+  video format; it fails fast at plan-build time.
+
+Undecodable payloads raise by default (``on_undecodable='error'``) — silent
+row drops are data loss; pass ``'skip'`` explicitly for lossy ingest.
 """
 
 from __future__ import annotations
@@ -71,53 +78,167 @@ DECODED_SCHEMA = StructType([
     StructField("features", ArrayType(FloatType())),
 ])
 
+AUDIO_DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("rms", FloatType()),
+])
 
-def decode_image(df: DataFrame, fake: bool = False, feature_bins: int = 8) -> DataFrame:
+
+# --- pure-Python codecs for uncompressed formats -----------------------------
+
+def decode_ppm(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """Binary PPM (P6, maxval 255): header tokens may be separated by any
+    whitespace and '#' comments; pixel payload is w*h*3 raw bytes."""
+    if data[:2] != b"P6":
+        return None
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i] == ord("#"):
+            while i < len(data) and data[i] != ord("\n"):
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            return None
+        tokens.append(int(data[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    px = np.frombuffer(data[i : i + w * h * 3], dtype=np.uint8)
+    if px.size != w * h * 3:
+        return None
+    return w, h, 3, px
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): bottom-up BGR rows padded
+    to 4 bytes; returned top-down as RGB."""
+    if data[:2] != b"BM" or len(data) < 54:
+        return None
+    (offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    if w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(data[offset : offset + stride * h], dtype=np.uint8)
+    if raw.size != stride * h:
+        return None
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, 3, np.ascontiguousarray(rows[:, :, ::-1]).ravel()  # BGR->RGB
+
+
+def decode_wav_pcm(data: bytes) -> tuple[int, int, np.ndarray] | None:
+    """RIFF/WAVE with PCM fmt (8- or 16-bit) -> (sample_rate, channels,
+    int samples interleaved)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (size,) = struct.unpack_from("<I", data, i + 4)
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
+                return None
+            fmt = (rate, channels, bits)
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            rate, channels, bits = fmt
+            dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+            usable = size - size % ((bits // 8) * channels)
+            samples = np.frombuffer(body[:usable], dtype=dtype)
+            return rate, channels, samples
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
+def decode_pixels(data: bytes, use_pil: bool = False) -> tuple[int, int, int, np.ndarray] | None:
+    """(width, height, channels, flat uint8 pixels) or None.
+
+    Codec chain: FAKE synthetic header -> PPM (P6) -> BMP (24-bit) ->
+    optionally PIL for compressed formats.
+    """
+    if data[:4] == _MAGIC:
+        w, h, c = struct.unpack("<III", data[4:16])
+        return w, h, c, np.frombuffer(data[16:16 + w * h * c], dtype=np.uint8)
+    decoded = decode_ppm(data) or decode_bmp(data)
+    if decoded is not None:
+        return decoded
+    if use_pil:
+        import io
+
+        try:
+            from PIL import Image
+        except ImportError as exc:  # driver had PIL, executor doesn't
+            raise RuntimeError(
+                "PIL importable on the driver but not on executors — "
+                "ship it via --py-files/conda env"
+            ) from exc
+
+        try:
+            img = Image.open(io.BytesIO(data))
+            arr = np.asarray(img)
+        except Exception:
+            return None
+        c = 1 if arr.ndim == 2 else arr.shape[2]
+        return img.width, img.height, c, arr.astype(np.uint8).ravel()
+    return None
+
+
+def decode_image(
+    df: DataFrame,
+    fake: bool = False,  # kept for API compatibility; FAKE is always handled
+    feature_bins: int = 8,
+    on_undecodable: str = "error",
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
-    Codec resolution order:
-    - PIL importable -> real decoder (any PIL-supported format; the 'FAKE'
-      synthetic header is still handled so fixtures keep working);
-    - else ``fake=True`` -> deterministic fake decoder (synthetic header only);
-    - else NotImplementedError at plan-build time (not inside executors).
+    PPM/BMP/FAKE decode with the built-in pure-Python codecs on any executor;
+    PIL (when importable) extends coverage to compressed formats. A payload
+    no codec accepts raises (default) — silent row drops are data loss — or
+    is skipped with ``on_undecodable='skip'``.
     """
+    del fake
+    if on_undecodable not in ("error", "skip"):
+        raise ValueError("on_undecodable must be 'error' or 'skip'")
     use_pil = _pil_available()
-    if not use_pil and not fake:
-        raise NotImplementedError(
-            "image decoding requires PIL/opencv (not in this container); "
-            "pass fake=True for the deterministic test decoder"
-        )
-
-    def _pixels(data: bytes) -> tuple[int, int, int, np.ndarray] | None:
-        if data[:4] == _MAGIC:
-            w, h, c = struct.unpack("<III", data[4:16])
-            return w, h, c, np.frombuffer(data[16:16 + w * h * c], dtype=np.uint8)
-        if use_pil:
-            import io
-
-            try:
-                from PIL import Image
-            except ImportError as exc:  # driver had PIL, executor doesn't
-                raise RuntimeError(
-                    "PIL importable on the driver but not on executors — "
-                    "ship it via --py-files/conda env or pass fake=True"
-                ) from exc
-
-            try:
-                img = Image.open(io.BytesIO(data))
-                arr = np.asarray(img)
-            except Exception:
-                return None
-            c = 1 if arr.ndim == 2 else arr.shape[2]
-            return img.width, img.height, c, arr.astype(np.uint8).ravel()
-        return None
+    strict = on_undecodable == "error"
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                decoded = _pixels(bytes(data))
+                decoded = decode_pixels(bytes(data), use_pil)
                 if decoded is None:
+                    if strict:
+                        raise ValueError(
+                            f"media_id={mid}: no codec accepts this payload "
+                            f"(head={bytes(data)[:8]!r}); pass "
+                            "on_undecodable='skip' to drop such rows"
+                        )
                     continue
                 w, h, c, px = decoded
                 hist = np.histogram(px, bins=feature_bins, range=(0, 256))[0]
@@ -132,24 +253,149 @@ def decode_image(df: DataFrame, fake: bool = False, feature_bins: int = 8) -> Da
     return df.select("media_id", "data").mapInPandas(_decode, DECODED_SCHEMA)
 
 
-def resize_plumbing(df: DataFrame, target: tuple[int, int], fake: bool = False) -> DataFrame:
-    """Resize stub: validates the partition/batch plumbing, fake 'resize'
-    rewrites the header only (no real resampling without codecs)."""
-    if not fake:
-        raise NotImplementedError("resize requires an image library; use fake=True")
+def decode_audio(df: DataFrame, on_undecodable: str = "error") -> DataFrame:
+    """WAV/PCM decode + amplitude stats via mapInPandas (Arrow-batched)."""
+    if on_undecodable not in ("error", "skip"):
+        raise ValueError("on_undecodable must be 'error' or 'skip'")
+    strict = on_undecodable == "error"
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                decoded = decode_wav_pcm(bytes(data))
+                if decoded is None:
+                    if strict:
+                        raise ValueError(
+                            f"media_id={mid}: not a PCM WAV payload "
+                            f"(head={bytes(data)[:8]!r}); pass "
+                            "on_undecodable='skip' to drop such rows"
+                        )
+                    continue
+                rate, channels, samples = decoded
+                n = samples.size // channels
+                # int64 squares stay exact in float64 (|s| <= 32768, n bounded
+                # by payload size), so rms is engine-independent
+                sq = samples.astype(np.int64)
+                rms = float(np.sqrt(float((sq * sq).sum()) / max(samples.size, 1)))
+                out.append((mid, rate, channels, n,
+                            int(n * 1000 // max(rate, 1)), rms))
+            yield pd.DataFrame(
+                out, columns=["media_id", "sample_rate", "channels",
+                              "n_samples", "duration_ms", "rms"],
+            )
+
+    return df.select("media_id", "data").mapInPandas(_decode, AUDIO_DECODED_SCHEMA)
+
+
+# --- encoders (synth + resize output) ----------------------------------------
+
+def encode_ppm(w: int, h: int, px: np.ndarray) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def encode_bmp(w: int, h: int, px: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP from top-down RGB flat pixels."""
+    stride = (w * 3 + 3) & ~3
+    img = px.astype(np.uint8).reshape(h, w, 3)[:, :, ::-1]  # RGB->BGR
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img.reshape(h, w * 3)
+    body = rows[::-1].tobytes()  # bottom-up
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def encode_wav(rate: int, channels: int, samples: np.ndarray) -> bytes:
+    """PCM 16-bit WAV from interleaved int16 samples."""
+    body = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def synth_media_rows(n: int = 60, seed: int = 7) -> list[tuple]:
+    """Deterministic REAL-format media rows (PPM / BMP / WAV round-robin),
+    pure Python — the golden generator builds the identical bytes without
+    Spark. Matches MEDIA_SCHEMA."""
+    rows = []
+    for i in range(n):
+        kind = i % 3
+        if kind < 2:
+            w = 5 + (i * 7 + seed) % 12
+            h = 4 + (i * 11 + seed) % 10
+            px = np.array(
+                [(i * 31 + j * 7 + seed) % 256 for j in range(w * h * 3)],
+                dtype=np.uint8,
+            )
+            data = encode_ppm(w, h, px) if kind == 0 else encode_bmp(w, h, px)
+            rows.append((i, "image", "image/x-portable-pixmap" if kind == 0 else "image/bmp",
+                         data, {"width": w, "height": h, "channels": 3, "duration_ms": None}))
+        else:
+            rate = 8000
+            ns = 64 + (i % 32) * 8
+            samples = np.array(
+                [((i * 131 + j * 17 + seed) % 4001) - 2000 for j in range(ns)],
+                dtype=np.int16,
+            )
+            rows.append((i, "audio", "audio/wav", encode_wav(rate, 1, samples),
+                         {"width": None, "height": None, "channels": 1,
+                          "duration_ms": ns * 1000 // rate}))
+    return rows
+
+
+def make_real_media(spark: SparkSession, n: int = 60, seed: int = 7) -> DataFrame:
+    return spark.createDataFrame(synth_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def resize_image(
+    df: DataFrame, target: tuple[int, int], on_undecodable: str = "error"
+) -> DataFrame:
+    """Real nearest-neighbor resize via mapInPandas (no external libs).
+
+    Decodes with the same codec chain as :func:`decode_image`, resamples by
+    integer index mapping, re-encodes: FAKE stays FAKE, anything 3-channel
+    becomes PPM (the canonical uncompressed output), other channel counts
+    stay FAKE-framed.
+    """
+    if on_undecodable not in ("error", "skip"):
+        raise ValueError("on_undecodable must be 'error' or 'skip'")
+    strict = on_undecodable == "error"
+    use_pil = _pil_available()
     tw, th = target
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            keep = []
             datas = []
-            for data in pdf["data"]:
-                if data[:4] == _MAGIC:
-                    _, _, c = struct.unpack("<III", data[4:16])
-                    datas.append(_MAGIC + struct.pack("<III", tw, th, c)
-                                 + bytes(tw * th * c))
+            metas = []
+            for k, (data, mid) in enumerate(zip(pdf["data"], pdf["media_id"])):
+                raw = bytes(data)
+                decoded = decode_pixels(raw, use_pil)
+                if decoded is None:
+                    if strict:
+                        raise ValueError(
+                            f"media_id={mid}: no codec accepts this payload; "
+                            "pass on_undecodable='skip' to drop such rows"
+                        )
+                    continue
+                w, h, c, px = decoded
+                grid = px.reshape(h, w, c)
+                yi = (np.arange(th) * h) // th
+                xi = (np.arange(tw) * w) // tw
+                out = grid[yi][:, xi].ravel()
+                if raw[:4] == _MAGIC or c != 3:
+                    new = _MAGIC + struct.pack("<III", tw, th, c) + out.tobytes()
                 else:
-                    datas.append(data)
-            pdf = pdf.assign(data=datas)
+                    new = encode_ppm(tw, th, out)
+                keep.append(k)
+                datas.append(new)
+                metas.append({"width": tw, "height": th, "channels": c,
+                              "duration_ms": None})
+            pdf = pdf.iloc[keep].assign(data=datas, meta=metas)
             yield pdf
 
     return df.mapInPandas(_resize, df.schema)

@@ -165,21 +165,67 @@ def test_qgram_count_expr_matches_python(spark, docs):
 def test_multimodal_plumbing(spark):
     media = multimodal.make_fake_media(spark, n=20)
     assert media.count() == 20
-    decoded = multimodal.decode_image(media, fake=True)
+    decoded = multimodal.decode_image(media)
     rows = decoded.collect()
     assert len(rows) == 20
     for r in rows:
         assert len(r["features"]) == 8
         assert abs(sum(r["features"]) - 1.0) < 1e-5
-    if not multimodal._pil_available():
-        # without a codec the non-fake path must fail at plan-build time
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(media, fake=False)
-    else:
-        # with PIL present the real path still decodes the synthetic header
-        assert multimodal.decode_image(media, fake=False).count() == 20
-    resized = multimodal.resize_plumbing(media, (4, 4), fake=True)
-    assert resized.count() == 20
+
+
+def test_multimodal_real_codecs(spark):
+    """PPM/BMP/WAV decode is REAL (pure-Python parsers, no media libs):
+    distributed decode must return the exact synthesized pixels/samples."""
+    import numpy as np
+
+    rows = multimodal.synth_media_rows(n=12, seed=7)
+    media = multimodal.make_real_media(spark, n=12, seed=7)
+
+    imgs = {r["media_id"]: r for r in
+            multimodal.decode_image(media.filter("kind = 'image'")).collect()}
+    assert len(imgs) == 8  # 2 of every 3 rows are images
+    for i, kind, mime, data, meta in rows:
+        if kind != "image":
+            continue
+        w, h = meta["width"], meta["height"]
+        px = np.array([(i * 31 + j * 7 + 7) % 256 for j in range(w * h * 3)])
+        got = imgs[i]
+        # PPM and BMP must round-trip to the identical pixel stream
+        assert (got["width"], got["height"], got["channels"]) == (w, h, 3)
+        assert abs(got["mean_intensity"] - px.mean()) < 1e-3
+
+    aud = {r["media_id"]: r for r in
+           multimodal.decode_audio(media.filter("kind = 'audio'")).collect()}
+    assert len(aud) == 4
+    for i, kind, mime, data, meta in rows:
+        if kind != "audio":
+            continue
+        ns = 64 + (i % 32) * 8
+        s = np.array([((i * 131 + j * 17 + 7) % 4001) - 2000 for j in range(ns)],
+                     dtype=np.int64)
+        got = aud[i]
+        assert got["n_samples"] == ns and got["sample_rate"] == 8000
+        assert abs(got["rms"] - float(np.sqrt((s * s).sum() / ns))) < 1e-2
+
+    # pixel-exact decode equality: decode(encode(px)) == px for both formats
+    ppm = multimodal.decode_ppm(multimodal.encode_ppm(3, 2, np.arange(18) % 256))
+    bmp = multimodal.decode_bmp(multimodal.encode_bmp(3, 2, np.arange(18) % 256))
+    assert ppm is not None and bmp is not None
+    assert list(ppm[3]) == list(range(18)) and list(bmp[3]) == list(range(18))
+
+    # real nearest-neighbor resize: every image lands at the target size
+    resized = multimodal.resize_image(media.filter("kind = 'image'"), (4, 4))
+    re_decoded = multimodal.decode_image(resized).collect()
+    assert len(re_decoded) == 8
+    assert all(r["width"] == 4 and r["height"] == 4 for r in re_decoded)
+
+    # undecodable payloads error by default, skip on request
+    junk = spark.createDataFrame(
+        [(99, "image", "image/junk", b"NOTAFORMAT", None)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="no codec"):
+        multimodal.decode_image(junk).collect()
+    assert multimodal.decode_image(junk, on_undecodable="skip").count() == 0
 
 
 def test_lsh_salting_is_pair_set_invariant(docs, emb):
