@@ -155,11 +155,12 @@ def minhash_lsh_pairs(
         gram_hashes(char_shingles(text_col, q)).alias("hg"),
     ).withColumn("sig", signature_from_hashes(F.col("hg"), num_hashes, seed))
 
-    # NB (scale): the bucket join carries only (bucket, id) — the gram arrays
-    # are re-attached AFTER the pair set is deduplicated, otherwise hot
-    # buckets shuffle megabytes of array payload per candidate row.
+    # NB (scale): the bucket join carries only (bucket, id, gram COUNT) — the
+    # gram arrays are re-attached AFTER the pair set is deduplicated AND
+    # size-pruned, otherwise hot buckets shuffle megabytes of array payload
+    # per candidate row.
     banded = base.select(
-        "id",
+        "id", F.size("hg").alias("ng"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -169,9 +170,20 @@ def minhash_lsh_pairs(
     ).withColumn("bucket", F.sha2(F.concat_ws(",", F.col("band"), F.concat_ws("-", "band_sig")), 256))
 
     cands = salted_pair_candidates(
-        banded.select("bucket", "id"), ["bucket"],
+        banded.select("bucket", "id", "ng"), ["bucket"], payload_cols=("ng",),
         hot_threshold=hot_threshold, shards=shards,
     )
+    # PROVABLY output-invariant verify prune: |A∩B| <= min(|A|,|B|) and
+    # |A∪B| >= max(|A|,|B|), so jaccard <= min/max — a pair whose gram-count
+    # ratio is below the threshold cannot pass exact verification. The prune
+    # runs on two ints BEFORE the array re-attach joins. (A signature-
+    # agreement prefilter — VERDICT r2 #6 — is NOT applied: measured on this
+    # corpus, true positives reach the band-floor agreement of 4/16, so any
+    # agreement cutoff above the floor silently drops verified-true pairs.)
+    cands = cands.filter(
+        F.least("ng_a", "ng_b").cast("double")
+        >= F.lit(threshold) * F.greatest("ng_a", "ng_b")
+    ).drop("ng_a", "ng_b")
     hashes_only = base.select("id", "hg")
     with_hashes = (
         cands.join(hashes_only.withColumnRenamed("id", "id_a")
@@ -208,9 +220,16 @@ def ngram_jaccard_pairs(
         char_shingles(text_col, q).alias("grams"),
     )
     cands = salted_pair_candidates(
-        base.select("block", "id"), ["block"],
+        base.select("block", "id", F.size("grams").alias("ng")), ["block"],
+        payload_cols=("ng",),
         hot_threshold=hot_threshold, shards=shards, dedup=False,
     )
+    # output-invariant size prune (jaccard <= min/max gram counts) before the
+    # heavy gram-array joins — see minhash_lsh_pairs
+    cands = cands.filter(
+        F.least("ng_a", "ng_b").cast("double")
+        >= F.lit(threshold) * F.greatest("ng_a", "ng_b")
+    ).drop("ng_a", "ng_b")
     grams_only = base.select("id", "grams")
     with_grams = (
         cands.join(grams_only.withColumnRenamed("id", "id_a")

@@ -1,15 +1,26 @@
-"""Stage checkpointing, lineage metrics, and resume.
+"""Stage checkpointing with an append-only snapshot log, lineage metrics,
+and snapshot-pinned resume.
 
 Spark-first replacement for the reference's per-MR-job HDFS materialization
 with ``FAILED_*`` rename recovery and counter threading
-(``mr-blocking/HammingLSHFPSToolV0.java:158-177,219-236``): every stage
-writes a parquet snapshot + a manifest entry with row counts, wall time and a
-per-partition row histogram (lineage). A re-run with the same run directory
-skips completed stages and reads their snapshots — any stage is resumable
-mid-run.
+(``mr-blocking/HammingLSHFPSToolV0.java:158-177,219-236``), upgraded to
+Iceberg-style table semantics (SURVEY §1.1) within plain parquet:
 
-(The same code drives an Iceberg catalog by swapping ``parquet`` for
-``writeTo(table)`` — this sandbox has no Iceberg jars, so the snapshot
+- every stage owns an APPEND-ONLY log of immutable snapshots
+  (``run_dir/<stage>/snap-00001/ ...``) plus a manifest entry recording, per
+  snapshot: row count, wall seconds, per-partition row histogram (lineage),
+  the result schema, and an optional input FINGERPRINT;
+- resume is pinned to snapshots, not directory presence: ``run(name, build,
+  fingerprint=...)`` reuses the current snapshot only while the fingerprint
+  matches; a changed input appends a NEW snapshot and the old one stays
+  readable via :meth:`read_at` (time travel), exactly like reading an
+  Iceberg table at an old snapshot id;
+- a failed write renames its partial output ``FAILED_snap-*`` (the
+  reference's recovery convention) and aborts; previously committed
+  snapshots are untouched.
+
+(The same code drives a real Iceberg catalog by swapping the parquet write
+for ``writeTo(table)`` — this sandbox has no Iceberg jars, so the snapshot
 directory layout stands in for table snapshots; the manifest is the stage
 ledger either way.)
 """
@@ -47,7 +58,7 @@ class StageMetrics:
 
 
 class StageRunner:
-    """Run named stages with parquet snapshots + manifest-driven resume."""
+    """Run named stages with snapshot-logged parquet checkpoints + resume."""
 
     def __init__(self, spark: SparkSession, run_dir: str, collect_lineage: bool = True) -> None:
         self.spark = spark
@@ -66,16 +77,44 @@ class StageRunner:
             json.dump(self.manifest, f, indent=2, sort_keys=True)
         os.replace(tmp, self.manifest_path)
 
-    def _snapshot_path(self, name: str) -> str:
-        return os.path.join(self.run_dir, name)
+    def _snapshot_path(self, name: str, snapshot_id: int) -> str:
+        return os.path.join(self.run_dir, name, f"snap-{snapshot_id:05d}")
+
+    # --- snapshot log accessors ------------------------------------------
+
+    def snapshots(self, name: str) -> list[dict]:
+        """The stage's append-only snapshot log (oldest first)."""
+        return list(self.manifest["stages"].get(name, {}).get("snapshots", []))
+
+    def current_snapshot_id(self, name: str) -> int | None:
+        return self.manifest["stages"].get(name, {}).get("current")
 
     def completed(self, name: str) -> bool:
         entry = self.manifest["stages"].get(name)
-        return bool(entry and entry.get("status") == "ok"
-                    and os.path.exists(self._snapshot_path(name)))
+        if not entry or entry.get("status") != "ok":
+            return False
+        cur = entry.get("current")
+        return cur is not None and os.path.exists(self._snapshot_path(name, cur))
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._snapshot_path(name))
+        """Read the stage's CURRENT snapshot."""
+        cur = self.current_snapshot_id(name)
+        if cur is None:
+            raise KeyError(f"stage {name!r} has no committed snapshot")
+        return self.read_at(name, cur)
+
+    def read_at(self, name: str, snapshot_id: int) -> DataFrame:
+        """Time travel: read a specific committed snapshot of the stage."""
+        path = self._snapshot_path(name, snapshot_id)
+        known = {s["id"] for s in self.snapshots(name)}
+        if snapshot_id not in known:
+            raise KeyError(
+                f"stage {name!r} has no snapshot {snapshot_id} "
+                f"(log: {sorted(known)})"
+            )
+        return self.spark.read.parquet(path)
+
+    # --- execution ---------------------------------------------------------
 
     def run(
         self,
@@ -83,11 +122,33 @@ class StageRunner:
         build: Callable[[], DataFrame],
         repartition: int | None = None,
         extra_metrics: dict | None = None,
+        fingerprint: str | None = None,
     ) -> DataFrame:
-        """Build + snapshot the stage unless already completed (resume)."""
-        if self.completed(name):
-            return self.read(name)
-        path = self._snapshot_path(name)
+        """Build + snapshot the stage unless its current snapshot is reusable.
+
+        ``fingerprint`` identifies the stage's INPUT (e.g. an upstream
+        snapshot id, a config hash). Resume reuses the current snapshot only
+        if the stage is complete AND the fingerprint matches the one the
+        snapshot was built from (``None`` matches anything — directory-level
+        resume, the round-2 behavior). On mismatch a NEW snapshot is
+        appended; older snapshots remain readable via :meth:`read_at`.
+        """
+        entry = self.manifest["stages"].get(name)
+        if entry and entry.get("status") == "ok":
+            cur = entry.get("current")
+            cur_snap = next(
+                (s for s in entry.get("snapshots", []) if s["id"] == cur), None
+            )
+            if (
+                cur_snap is not None
+                and os.path.exists(self._snapshot_path(name, cur))
+                and (fingerprint is None or cur_snap.get("fingerprint") == fingerprint)
+            ):
+                return self.read_at(name, cur)
+
+        prior = self.snapshots(name)
+        snapshot_id = max((s["id"] for s in prior), default=0) + 1
+        path = self._snapshot_path(name, snapshot_id)
         t0 = time.time()
         df = build()
         if repartition:
@@ -95,11 +156,17 @@ class StageRunner:
         try:
             df.write.mode("overwrite").parquet(path)
         except Exception:
-            # reference behavior: failed stage output renamed FAILED_* & abort
-            failed = os.path.join(self.run_dir, f"FAILED_{name}")
+            # reference behavior: failed stage output renamed FAILED_* & abort;
+            # previously committed snapshots stay readable
+            failed = os.path.join(self.run_dir, name, f"FAILED_snap-{snapshot_id:05d}")
             if os.path.exists(path):
                 os.replace(path, failed)
-            self.manifest["stages"][name] = {"status": "failed", "ts": time.time()}
+            self.manifest["stages"][name] = {
+                "status": "failed",
+                "ts": time.time(),
+                "snapshots": prior,
+                "current": self.manifest["stages"].get(name, {}).get("current"),
+            }
             self._save_manifest()
             raise
         out = self.spark.read.parquet(path)
@@ -120,9 +187,19 @@ class StageRunner:
             name=name, rows=rows, seconds=round(seconds, 3),
             partitions=partitions, partition_rows=pr, extra=extra_metrics or {},
         )
+        snap_record = {
+            "id": snapshot_id,
+            "ts": time.time(),
+            "fingerprint": fingerprint,
+            "schema": out.schema.simpleString(),
+            "metrics": metrics.to_dict(),
+        }
         self.manifest["stages"][name] = {
             "status": "ok",
             "ts": time.time(),
+            "current": snapshot_id,
+            "snapshots": prior + [snap_record],
+            # top-level mirror of the current snapshot's metrics (stable API)
             "metrics": metrics.to_dict(),
         }
         self._save_manifest()

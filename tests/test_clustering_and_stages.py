@@ -89,6 +89,49 @@ def test_stage_runner_checkpoint_resume(spark, tmp_path):
     assert os.path.exists(os.path.join(run_dir, "manifest.json"))
 
 
+def test_stage_runner_snapshot_log_and_time_travel(spark, tmp_path):
+    """Snapshot-pinned resume: a changed input fingerprint appends a NEW
+    snapshot; the old snapshot stays readable via read_at (time travel)."""
+    run_dir = str(tmp_path / "run_snap")
+    runner = StageRunner(spark, run_dir)
+    calls = {"n": 0}
+    data = {"mult": 2}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(50).withColumn("v", F.col("id") * data["mult"])
+
+    df1 = runner.run("stage_s", build, fingerprint="input-v1")
+    assert calls["n"] == 1 and runner.current_snapshot_id("stage_s") == 1
+
+    # same fingerprint -> resume, no rebuild, same snapshot
+    runner.run("stage_s", build, fingerprint="input-v1")
+    assert calls["n"] == 1
+
+    # changed input -> NEW snapshot appended, old one untouched
+    data["mult"] = 10
+    df2 = runner.run("stage_s", build, fingerprint="input-v2")
+    assert calls["n"] == 2
+    assert runner.current_snapshot_id("stage_s") == 2
+    assert [s["id"] for s in runner.snapshots("stage_s")] == [1, 2]
+    assert df2.agg(F.max("v")).first()[0] == 490
+
+    # time travel: the v1 snapshot still reads the OLD values
+    old = runner.read_at("stage_s", 1)
+    assert old.agg(F.max("v")).first()[0] == 98
+    assert runner.read("stage_s").agg(F.max("v")).first()[0] == 490
+
+    # fresh runner on the same dir sees the full log (process restart)
+    runner2 = StageRunner(spark, run_dir)
+    assert [s["id"] for s in runner2.snapshots("stage_s")] == [1, 2]
+    assert runner2.read_at("stage_s", 1).agg(F.max("v")).first()[0] == 98
+    # schema + fingerprint are recorded per snapshot
+    s1 = runner2.snapshots("stage_s")[0]
+    assert s1["fingerprint"] == "input-v1" and "bigint" in s1["schema"]
+    with pytest.raises(KeyError):
+        runner2.read_at("stage_s", 99)
+
+
 def test_stage_runner_failure_marks_failed(spark, tmp_path):
     run_dir = str(tmp_path / "run2")
     runner = StageRunner(spark, run_dir)
