@@ -30,7 +30,7 @@ _SF_GUESS = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
 N_ENTITIES = int(os.environ.get("BENCH_ENTITIES", str(int(200_000 * _SF_GUESS))))
 
 
-def build_spark(cpus: int):
+def build_spark(cpus: int, shuffle_partitions: int | None = None):
     import os
 
     from pprl_scaling_framework_spark.sources.session import build_session
@@ -41,7 +41,7 @@ def build_spark(cpus: int):
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = build_session(
         f"pprl-bench-{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus * 2, 16),
+        shuffle_partitions=shuffle_partitions or max(cpus * 2, 16),
         prefer_shuffled_hash=True,
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -227,6 +227,10 @@ def run_scaling_probe() -> dict:
       configs equally; best-of-reps is the least-contaminated estimate.
     - A pure-codegen zero-shuffle ceiling probe runs at each parallelism:
       the single-JVM driver bounds ANY Spark job below 1.0 here.
+    - shuffle_partitions is FIXED (default 64) across every config: letting
+      it scale with cores changes the AQE plan (coalescing, join picks)
+      between configs, so the comparison would no longer be the same
+      physical plan at two parallelism levels.
     """
     import shutil
 
@@ -258,12 +262,16 @@ def run_scaling_probe() -> dict:
     cpus_list = sorted({c for p in pairs for c in p})
     best: dict[int, dict] = {}
     ceil_t: dict[int, float] = {}
+    fixed_parts = int(os.environ.get("SCALING_PARTITIONS", "64"))
+    scaling["shuffle_partitions"] = fixed_parts
     for rep in range(reps):
         for cpus in cpus_list:
-            sp = build_spark(cpus)
+            sp = build_spark(cpus, shuffle_partitions=fixed_parts)
             r = run_pipeline(sp, n_scale, cluster=False, input_path=input_path, fused=True)
             if rep == 0:
                 ceil_t[cpus] = _ceiling_probe(sp, probe_rows)
+            else:
+                ceil_t[cpus] = min(ceil_t[cpus], _ceiling_probe(sp, probe_rows))
             sp.stop()
             if cpus not in best or (r["timings"]["total_ex_generate"]
                                     < best[cpus]["timings"]["total_ex_generate"]):
@@ -289,6 +297,69 @@ def run_scaling_probe() -> dict:
         if (n_small, n_big) == pairs[0]:
             scaling["efficiency_N_to_4N"] = eff
     return scaling
+
+
+def run_skew_probe() -> dict:
+    """Quantify the skew levers (BENCH_SKEW=1): block+candidates wall time on
+    a deliberately skewed corpus (10% of entities share ONE byte-identical
+    content -> one mega blocking bucket per HLSH group), with exact-collapse
+    DISABLED so the mega-bucket actually reaches the join, run three ways:
+
+    - unsalted: hot_threshold huge (every bucket in one shuffle task);
+    - salted:   proportional sharding (the default path);
+    - capped:   salted + max_bucket (mega-buckets dropped).
+
+    Reported per variant: candidates-stage seconds and pair count (salted ==
+    unsalted by construction; capped is smaller). Interleaved best-of-reps.
+    """
+    from pprl_scaling_framework_spark.blocking import fps, hlsh
+    from pprl_scaling_framework_spark.encoding.encode import encode_dataframe
+    from pprl_scaling_framework_spark.sources import repos as repos_src
+
+    n_entities = int(os.environ.get("SKEW_ENTITIES", "20000"))
+    reps = int(os.environ.get("SKEW_REPEAT", "3"))
+    cfg = bench_config()
+    # SKEW_L overrides the planner's L: with L ~ cores the mega-buckets (one
+    # per group) already spread across all task slots and salting has nothing
+    # to rebalance; L << cores models the 1000-executor regime where unsalted
+    # hot buckets strand most of the cluster idle
+    skew_l = os.environ.get("SKEW_L")
+    if skew_l:
+        cfg.L = int(skew_l)
+    plan = cfg.plan()
+    n_bits = cfg.encoding.total_bits
+    spark = build_spark(CPUS)
+    # skew_every=10 -> 10% of entities carry the identical boilerplate file
+    records = repos_src.with_uid_and_sha(
+        repos_src.synth_repos(spark, n_entities=n_entities, seed=42, skew_every=10)
+    ).persist()
+    records.count()
+    encoded = encode_dataframe(records, cfg.encoding, included=["uid"]).persist()
+    encoded.count()
+    pos = hlsh.position_matrix(plan.L, cfg.hlsh_K, n_bits, cfg.hlsh_seed)
+    keys = hlsh.blocking_keys(encoded, "uid", "bf", pos, n_bits).persist()
+    keys.count()
+
+    variants = {
+        "unsalted": dict(hot_threshold=1 << 30, shards=1, max_bucket=None),
+        "salted": dict(hot_threshold=cfg.hot_threshold, shards=cfg.salt_shards,
+                       max_bucket=None),
+        "salted_capped": dict(hot_threshold=cfg.hot_threshold,
+                              shards=cfg.salt_shards, max_bucket=cfg.max_bucket),
+    }
+    out: dict = {"entities": n_entities, "skew_every": 10, "reps": reps}
+    for _ in range(reps):
+        for name, kw in variants.items():
+            s = time.time()
+            n_pairs = fps.candidate_pairs(
+                keys, None, C=plan.C, self_join=True, uids_a=encoded, **kw
+            ).count()
+            dt = round(time.time() - s, 2)
+            cur = out.get(name)
+            if cur is None or dt < cur["seconds"]:
+                out[name] = {"seconds": dt, "pairs": n_pairs}
+    spark.stop()
+    return out
 
 
 def main() -> None:
@@ -323,6 +394,9 @@ def main() -> None:
     extra["candidate_pairs_per_sec"] = round(pipe["counts"]["candidate_pairs"] / cand_stage, 1)
     extra["records_per_sec_e2e"] = round(pipe["counts"]["records"] / pipe["timings"]["total"], 1)
     spark.stop()
+
+    if os.environ.get("BENCH_SKEW") == "1":
+        extra["skew"] = run_skew_probe()
 
     if os.environ.get("BENCH_SCALING") == "1":
         extra["scaling"] = run_scaling_probe()
