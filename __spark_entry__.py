@@ -6,8 +6,11 @@
 - ``queries()``: one entry per implemented operator from SURVEY.md section 2
   (PPRL stages + training-data ops + engine analogs over the provided
   tables).
-- ``oracle_sql()``: DuckDB-equivalent SQL for every ANSI-expressible query;
-  PPRL crypto/popcount stages are rows-only by nature.
+- ``oracle_sql()``: an exact oracle for EVERY query — DuckDB-equivalent SQL
+  where ANSI-expressible; otherwise a SELECT from engine-independent goldens
+  (plain-JDK PPRL pipeline, pure-Python JW+EM, independent PPM/BMP/WAV
+  parsers, numpy+XXH64 ANN, xml.etree DBLP) regenerated from source by the
+  tools/ generators.
 """
 
 from __future__ import annotations
