@@ -236,9 +236,12 @@ def run_scaling_probe() -> dict:
 
     from pprl_scaling_framework_spark.sources import repos as repos_src
 
+    # default = the configuration the evidence and BASELINE.md cite: 2:8 is
+    # the headline criterion datum (first pair -> efficiency_N_to_4N), 4:16
+    # reported alongside with its ceiling
     pairs = [
         tuple(int(x) for x in p.split(":"))
-        for p in os.environ.get("SCALING_PAIRS", "4:16").split(",")
+        for p in os.environ.get("SCALING_PAIRS", "2:8,4:16").split(",")
     ]
     n_scale = int(os.environ.get("SCALING_ENTITIES", "1600000"))
     reps = int(os.environ.get("SCALING_REPEAT", "3"))

@@ -158,6 +158,8 @@ def decode_wav_pcm(data: bytes) -> tuple[int, int, np.ndarray] | None:
         (size,) = struct.unpack_from("<I", data, i + 4)
         body = data[i + 8 : i + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated fmt chunk: undecodable, not a crash
+                return None
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if audio_fmt != 1 or bits not in (8, 16) or channels < 1:

@@ -35,13 +35,23 @@ def _zigzag(n: int) -> bytes:
             return bytes(out)
 
 
-def _is_null(value) -> bool:
+def _is_null(value, allow_nan: bool = False) -> bool:
     """None or a pandas null scalar (NaN/pd.NA/NaT) — arrays/bytes are never
-    null here (pd.isna on them returns an array, which we must not truthy)."""
+    null here (pd.isna on them returns an array, which we must not truthy).
+
+    ``allow_nan``: float NaN is a LEGAL Avro float/double value, so for those
+    schema types only None/pd.NA/NaT count as null — a pandas-missing NaN in
+    a float column is indistinguishable from a real NaN, and Avro's own
+    semantics say it's a value."""
     if value is None:
         return True
     if isinstance(value, (list, tuple, dict, bytes, bytearray, str)):
         return False
+    if allow_nan:
+        import numpy as np
+
+        if isinstance(value, (float, np.floating)):
+            return False
     try:
         import pandas as pd
 
@@ -53,7 +63,7 @@ def _is_null(value) -> bool:
 
 def _write_value(buf: io.BytesIO, schema, value, field: str = "<root>") -> None:
     t = schema if isinstance(schema, str) else schema["type"]
-    if t != "record" and _is_null(value):
+    if t != "record" and _is_null(value, allow_nan=t in ("float", "double")):
         # clear error instead of an opaque executor AttributeError; avro
         # nulls need union types, which this minimal writer doesn't support.
         # (_is_null also catches the NaN/pd.NA that pandas to_dict yields for

@@ -5,10 +5,11 @@ input tests/golden/pprl_input.csv.
 
 Only the INPUT is shared with the engine (same pattern as the JDK PPRL
 goldens): fields are re-derived from the uid/content, the deterministic
-sample filter reuses core/xxhash64 (itself parity-tested against Spark over
-ints/longs/strings), and every operator step — JW similarity, agreement
-packing, histogram, EM, FS weights — is reimplemented here from the
-published algorithms.
+sample filter uses a SEPARATELY-written XXH64 below (from the public spec,
+github.com/Cyan4973/xxHash — no import from the engine's core/xxhash64, so
+a transcription bug on either side surfaces as an oracle mismatch), and
+every operator step — JW similarity, agreement packing, histogram, EM, FS
+weights — is reimplemented here from the published algorithms.
 
 Float discipline: EM follows the engine's numpy association orders exactly
 (product over fields FIRST, then scale by p; sums ascending over pattern
@@ -25,11 +26,7 @@ import base64
 import csv
 import math
 import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-from pprl_scaling_framework_spark.core.xxhash64 import spark_xxhash64  # noqa: E402
+import struct
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 INPUT = os.path.join(GOLDEN_DIR, "pprl_input.csv")
@@ -41,6 +38,64 @@ SAMPLE_MOD = 2
 M0, U0, P0 = 0.9, 0.1, 0.001
 JW_THRESHOLD = 0.70
 MAX_ITER, EPS = 1000, 1e-5
+
+
+# --- XXH64, written fresh from the public spec (sample-filter parity with
+# Spark's xxhash64(uid) at seed 42: one string column = UTF-8 byte stream) ---
+
+_PRIMES = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+           0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5)
+_U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rot(x: int, r: int) -> int:
+    x &= _U64
+    return ((x << r) & _U64) | (x >> (64 - r))
+
+
+def _round64(acc: int, lane: int) -> int:
+    return (_rot(acc + lane * _PRIMES[1], 31) * _PRIMES[0]) & _U64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    p1, p2, p3, p4, p5 = _PRIMES
+    n, pos = len(data), 0
+    if n >= 32:
+        acc = [(seed + p1 + p2) & _U64, (seed + p2) & _U64,
+               seed & _U64, (seed - p1) & _U64]
+        while pos + 32 <= n:
+            lanes = struct.unpack_from("<4Q", data, pos)
+            acc = [_round64(a, l) for a, l in zip(acc, lanes)]
+            pos += 32
+        h = (_rot(acc[0], 1) + _rot(acc[1], 7)
+             + _rot(acc[2], 12) + _rot(acc[3], 18)) & _U64
+        for a in acc:
+            h = ((h ^ _round64(0, a)) * p1 + p4) & _U64
+    else:
+        h = (seed + p5) & _U64
+    h = (h + n) & _U64
+    while pos + 8 <= n:
+        (lane,) = struct.unpack_from("<Q", data, pos)
+        h = ((_rot(h ^ _round64(0, lane), 27)) * p1 + p4) & _U64
+        pos += 8
+    if pos + 4 <= n:
+        (lane,) = struct.unpack_from("<I", data, pos)
+        h = (_rot(h ^ (lane * p1) & _U64, 23) * p2 + p3) & _U64
+        pos += 4
+    while pos < n:
+        h = (_rot(h ^ (data[pos] * p5) & _U64, 11) * p1) & _U64
+        pos += 1
+    h ^= h >> 33
+    h = (h * p2) & _U64
+    h ^= h >> 29
+    h = (h * p3) & _U64
+    return h ^ (h >> 32)
+
+
+def sample_hash(uid: str) -> int:
+    """Signed-int64 view of xxh64(uid), as Spark's xxhash64 column yields."""
+    h = xxh64(uid.encode("utf-8"))
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 # --- Jaro-Winkler, written fresh from the published definition --------------
@@ -133,7 +188,7 @@ def main() -> None:
     with open(INPUT, newline="") as f:
         for row in csv.DictReader(f):
             uid = row["uid"]
-            if spark_xxhash64(uid) % SAMPLE_MOD != 0:
+            if sample_hash(uid) % SAMPLE_MOD != 0:
                 continue
             content = base64.b64decode(row["content_b64"]).decode("utf-8")
             path = uid.split(":", 1)[1].rsplit("@", 1)[0]
