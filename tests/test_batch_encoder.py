@@ -109,3 +109,34 @@ def test_empty_and_null_handling():
     assert s.iloc[0] == b"\x00" * 32
     assert s.iloc[1] == b"\x00" * 32
     assert s.iloc[2] != b"\x00" * 32
+
+
+def test_enc_golden_plan_parity(spark):
+    """The JDK golden generator (tests/gen_pprl_enc_golden.java) echoes its
+    computed plan into pprl_enc_plan.properties; it must equal the Python
+    planner's dynamic sizing + weighted RBF composition exactly — a
+    Math.pow/ceil ulp divergence between JVMs fails HERE, loudly, instead of
+    as an opaque digest mismatch in the driver's correctness gate."""
+    import os
+
+    from pprl_scaling_framework_spark import entry_queries as eq
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "pprl_enc_plan.properties")
+    props = {}
+    with open(path) as f:
+        for line in f:
+            k, v = line.strip().split("=", 1)
+            props[k] = v
+
+    recs = eq._pprl_enc_records(spark)
+    sizes = eq._fbf_dynamic_sizes_from_data(recs)
+    assert ",".join(map(str, sizes)) == props["fbf_sizes"]
+
+    cfg = schemes.rbf_weighted(
+        list(eq._PPRL_ENC_FIELDS), sizes, list(eq._RBF_WEIGHTS),
+        K=eq._ENC_K, Q=eq._ENC_Q, permutation_seed=eq._RBF_PERM_SEED,
+        selection_seeds=list(eq._RBF_SELECTION_SEEDS),
+    )
+    assert cfg.rbf_n == int(props["rbf_n"])
+    assert ",".join(map(str, cfg.rbf_composition)) == props["rbf_composition"]
+    assert (int(props["K"]), int(props["Q"])) == (eq._ENC_K, eq._ENC_Q)
