@@ -9,11 +9,14 @@ Codec layer (no external media libraries needed):
   exercised end to end in this container and golden-tested against an
   independent reimplementation (tools/gen_media_golden.py, ``media_decode``
   / ``media_audio`` driver queries).
+- **AVI (RIFF container, uncompressed 24-bit DIB frames)** video is decoded
+  by a real pure-Python parser of the published RIFF/AVI layout (the WAV
+  parser's sibling): frame sampling + per-frame intensity via
+  :func:`decode_video`, golden-tested against an independent parser
+  (``media_video`` driver query).
 - PIL, when importable, extends :func:`decode_image` to compressed formats
   (JPEG/PNG/...).
 - The 16-byte 'FAKE' synthetic header remains as the plumbing-test format.
-- Video frame-sampling remains a stub: there is no container-parsing-only
-  video format; it fails fast at plan-build time.
 
 Undecodable payloads raise by default (``on_undecodable='error'``) — silent
 row drops are data loss; pass ``'skip'`` explicitly for lossy ingest.
@@ -177,6 +180,74 @@ def decode_wav_pcm(data: bytes) -> tuple[int, int, np.ndarray] | None:
     return None
 
 
+def _dib_frame_to_rgb(body: bytes, w: int, h: int) -> np.ndarray | None:
+    """One uncompressed 24-bit DIB frame (bottom-up BGR, 4-byte-padded rows)
+    -> flat top-down RGB uint8, or None on a short chunk."""
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(body[: stride * h], dtype=np.uint8)
+    if raw.size != stride * h:
+        return None
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1]).ravel()  # BGR->RGB
+
+
+def decode_avi(data: bytes) -> tuple[int, int, int, list[np.ndarray]] | None:
+    """RIFF/AVI with uncompressed 24-bit DIB video frames ->
+    ``(width, height, usec_per_frame, frames)`` (frames flat top-down RGB).
+
+    Parses the published RIFF layout only (the WAV parser's sibling): the
+    ``hdrl`` LIST's ``avih`` (frame timing + dimensions) and ``strf``
+    BITMAPINFOHEADER (must be 24-bit uncompressed), then every ``..db``/
+    ``..dc`` chunk inside the ``movi`` LIST. Anything else -> None.
+    """
+    if data[:4] != b"RIFF" or len(data) < 12 or data[8:12] != b"AVI ":
+        return None
+    w = h = None
+    usec = 0
+    bpp_ok = False
+    frames: list[np.ndarray] = []
+
+    def walk(lo: int, hi: int, in_movi: bool) -> bool:
+        nonlocal w, h, usec, bpp_ok
+        i = lo
+        while i + 8 <= hi:
+            cid = data[i : i + 4]
+            (size,) = struct.unpack_from("<I", data, i + 4)
+            body_lo, body_hi = i + 8, min(i + 8 + size, hi)
+            if cid == b"LIST":
+                ltype = data[body_lo : body_lo + 4]
+                if not walk(body_lo + 4, body_hi, in_movi or ltype == b"movi"):
+                    return False
+            elif cid == b"avih":
+                if size < 40:
+                    return False
+                usec, _, _, _, _, _, _, _, aw, ah = struct.unpack_from(
+                    "<10I", data, body_lo
+                )
+                w, h = aw, ah
+            elif cid == b"strf":
+                if size >= 40:
+                    _, bw, bh, planes, bpp, comp = struct.unpack_from(
+                        "<IiiHHI", data, body_lo
+                    )
+                    if bpp == 24 and comp == 0:
+                        bpp_ok = True
+            elif in_movi and len(cid) == 4 and cid[2:] in (b"db", b"dc"):
+                if w and h:
+                    frame = _dib_frame_to_rgb(data[body_lo:body_hi], w, h)
+                    if frame is None:
+                        return False
+                    frames.append(frame)
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        return True
+
+    if not walk(12, len(data), False):
+        return None
+    if not (w and h and bpp_ok and frames):
+        return None
+    return w, h, usec, frames
+
+
 def decode_pixels(data: bytes, use_pil: bool = False) -> tuple[int, int, int, np.ndarray] | None:
     """(width, height, channels, flat uint8 pixels) or None.
 
@@ -290,6 +361,62 @@ def decode_audio(df: DataFrame, on_undecodable: str = "error") -> DataFrame:
     return df.select("media_id", "data").mapInPandas(_decode, AUDIO_DECODED_SCHEMA)
 
 
+VIDEO_DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("mean_intensity", FloatType()),
+])
+
+
+def decode_video(
+    df: DataFrame, frame_stride: int = 2, on_undecodable: str = "error"
+) -> DataFrame:
+    """AVI decode + frame sampling via mapInPandas (Arrow-batched).
+
+    Emits one row per SAMPLED frame (every ``frame_stride``-th, always
+    including frame 0) with per-frame mean intensity plus the container's
+    frame count and duration — the classic video feature-extraction shape
+    (decode -> sample -> per-frame features) with the heavy pixel payload
+    never leaving the executor.
+    """
+    if on_undecodable not in ("error", "skip"):
+        raise ValueError("on_undecodable must be 'error' or 'skip'")
+    if frame_stride < 1:
+        raise ValueError("frame_stride must be >= 1")
+    strict = on_undecodable == "error"
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                decoded = decode_avi(bytes(data))
+                if decoded is None:
+                    if strict:
+                        raise ValueError(
+                            f"media_id={mid}: not an uncompressed-DIB AVI "
+                            f"payload (head={bytes(data)[:8]!r}); pass "
+                            "on_undecodable='skip' to drop such rows"
+                        )
+                    continue
+                w, h, usec, frames = decoded
+                n = len(frames)
+                dur_ms = int(n * usec // 1000)
+                for fi in range(0, n, frame_stride):
+                    px = frames[fi]
+                    out.append((mid, fi, n, w, h, dur_ms,
+                                float(px.mean()) if px.size else 0.0))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "n_frames", "width",
+                              "height", "duration_ms", "mean_intensity"],
+            )
+
+    return df.select("media_id", "data").mapInPandas(_decode, VIDEO_DECODED_SCHEMA)
+
+
 # --- encoders (synth + resize output) ----------------------------------------
 
 def encode_ppm(w: int, h: int, px: np.ndarray) -> bytes:
@@ -317,6 +444,68 @@ def encode_wav(rate: int, channels: int, samples: np.ndarray) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(body)) + body
     )
+
+
+def encode_avi(w: int, h: int, fps: int, frames: list[np.ndarray]) -> bytes:
+    """RIFF/AVI container with uncompressed 24-bit DIB '00db' frames from
+    flat top-down RGB arrays (the write side of :func:`decode_avi`)."""
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def dib(px: np.ndarray) -> bytes:
+        img = px.astype(np.uint8).reshape(h, w, 3)[:, :, ::-1]  # RGB->BGR
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = img.reshape(h, w * 3)
+        return rows[::-1].tobytes()  # bottom-up
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I16x", 1_000_000 // fps, frame_size * fps, 0, 0,
+        len(frames), 0, 1, frame_size, w, h,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), frame_size, 0)
+        + struct.pack("<I4H", 0, 0, 0, w, h)  # dwSampleSize + rcFrame
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = list_chunk(
+        b"hdrl", chunk(b"avih", avih)
+        + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", dib(px)) for px in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def synth_video_rows(n: int = 20, seed: int = 7) -> list[tuple]:
+    """Deterministic REAL AVI video rows, pure Python — the golden generator
+    builds the identical bytes without Spark. Matches MEDIA_SCHEMA."""
+    rows = []
+    for i in range(n):
+        w = 6 + (i * 5 + seed) % 10
+        h = 4 + (i * 3 + seed) % 8
+        n_frames = 3 + i % 5
+        fps = 10
+        frames = [
+            np.array(
+                [(i * 37 + f * 11 + j * 7 + seed) % 256 for j in range(w * h * 3)],
+                dtype=np.uint8,
+            )
+            for f in range(n_frames)
+        ]
+        rows.append((i, "video", "video/x-msvideo", encode_avi(w, h, fps, frames),
+                     {"width": w, "height": h, "channels": 3,
+                      "duration_ms": n_frames * 1000 // fps}))
+    return rows
+
+
+def make_real_video(spark: SparkSession, n: int = 20, seed: int = 7) -> DataFrame:
+    return spark.createDataFrame(synth_video_rows(n, seed), MEDIA_SCHEMA)
 
 
 def synth_media_rows(n: int = 60, seed: int = 7) -> list[tuple]:

@@ -264,3 +264,45 @@ def test_bucket_join_mega_cap_drops_bucket(spark):
     capped = salted_pair_candidates(keyed, ["bucket"], hot_threshold=2, shards=2, max_bucket=5)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {("x", "y")}  # the 10-member mega bucket is dropped entirely
+
+
+def test_multimodal_video_codec(spark):
+    """AVI decode is REAL (pure-Python RIFF/DIB parser): frame sampling must
+    return the exact synthesized per-frame pixels, and the undecodable
+    contract must hold for video like image/audio."""
+    import numpy as np
+    import pytest as _pytest
+
+    rows = multimodal.synth_video_rows(n=6, seed=7)
+    media = multimodal.make_real_video(spark, n=6, seed=7)
+
+    got = multimodal.decode_video(media, frame_stride=2).collect()
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in got}
+    for i, kind, mime, data, meta in rows:
+        w, h = meta["width"], meta["height"]
+        n_frames = 3 + i % 5
+        sampled = list(range(0, n_frames, 2))
+        for fi in sampled:
+            r = by_key[(i, fi)]
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, n_frames)
+            assert r["duration_ms"] == n_frames * 100
+            px = np.array([(i * 37 + fi * 11 + j * 7 + 7) % 256
+                           for j in range(w * h * 3)])
+            assert abs(r["mean_intensity"] - px.mean()) < 1e-3
+    assert len(got) == sum(len(range(0, 3 + i % 5, 2)) for i in range(6))
+
+    # pixel-exact decode equality through the container round-trip
+    frames = [np.arange(36) % 256, (np.arange(36) + 5) % 256]
+    w, h, usec, out = multimodal.decode_avi(multimodal.encode_avi(4, 3, 10, frames))
+    assert (w, h, usec) == (4, 3, 100000)
+    assert [list(f) for f in out] == [list(f % 256) for f in frames]
+
+    # undecodable contract: error raises, skip drops
+    bad = spark.createDataFrame(
+        [(99, "video", "video/x-msvideo", b"not an avi at all",
+          {"width": None, "height": None, "channels": None, "duration_ms": None})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception):
+        multimodal.decode_video(bad).collect()
+    assert multimodal.decode_video(bad, on_undecodable="skip").count() == 0
