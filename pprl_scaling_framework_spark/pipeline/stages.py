@@ -103,8 +103,16 @@ class StageRunner:
             raise KeyError(f"stage {name!r} has no committed snapshot")
         return self.read_at(name, cur)
 
-    def read_at(self, name: str, snapshot_id: int) -> DataFrame:
-        """Time travel: read a specific committed snapshot of the stage."""
+    def read_at(
+        self, name: str, snapshot_id: int, under_current_schema: bool = False
+    ) -> DataFrame:
+        """Time travel: read a specific committed snapshot of the stage.
+
+        ``under_current_schema``: schema evolution — project the old snapshot
+        under the CURRENT snapshot's (widened) schema, with columns added
+        since then read as null (exactly how an Iceberg table serves an old
+        snapshot after an ADD COLUMN).
+        """
         path = self._snapshot_path(name, snapshot_id)
         known = {s["id"] for s in self.snapshots(name)}
         if snapshot_id not in known:
@@ -112,6 +120,13 @@ class StageRunner:
                 f"stage {name!r} has no snapshot {snapshot_id} "
                 f"(log: {sorted(known)})"
             )
+        if under_current_schema:
+            cur = self.current_snapshot_id(name)
+            if cur is not None and cur != snapshot_id:
+                cur_schema = self.spark.read.parquet(
+                    self._snapshot_path(name, cur)
+                ).schema
+                return self.spark.read.schema(cur_schema).parquet(path)
         return self.spark.read.parquet(path)
 
     # --- execution ---------------------------------------------------------

@@ -160,3 +160,48 @@ def test_mem_profiles_d5():
         mem_profile_conf("MID")
     with pytest.raises(ValueError):
         mem_profile_conf("LO/HI/LO")
+
+
+def test_stage_runner_schema_evolution(spark, tmp_path):
+    """Iceberg-style schema evolution on the snapshot log: a widened schema
+    appends a NEW snapshot; the old snapshot stays readable both as-written
+    (read_at) and projected under the current schema (added column -> null);
+    resume fingerprinting distinguishes the two schema versions."""
+    from pyspark.sql import functions as F
+
+    from pprl_scaling_framework_spark.pipeline.stages import StageRunner
+
+    run_dir = str(tmp_path / "run_evo")
+    r = StageRunner(spark, run_dir)
+
+    r.run("s", lambda: spark.range(5).select("id", (F.col("id") * 2).alias("x")),
+          fingerprint="v1")
+    assert r.current_snapshot_id("s") == 1
+
+    # widened build (added column y) under a new fingerprint -> snapshot 2
+    r.run("s", lambda: spark.range(5).select(
+        "id", (F.col("id") * 2).alias("x"), F.lit("new").alias("y")),
+        fingerprint="v2")
+    assert r.current_snapshot_id("s") == 2
+    assert [s["id"] for s in r.snapshots("s")] == [1, 2]
+
+    # current read carries the widened schema; old snapshot as-written
+    assert set(r.read("s").columns) == {"id", "x", "y"}
+    assert set(r.read_at("s", 1).columns) == {"id", "x"}
+
+    # old snapshot UNDER the current schema: y present, all-null
+    old_evolved = r.read_at("s", 1, under_current_schema=True)
+    assert set(old_evolved.columns) == {"id", "x", "y"}
+    assert old_evolved.filter(F.col("y").isNull()).count() == 5
+    assert old_evolved.filter(F.col("x") == 8).count() == 1
+
+    # resume: matching fingerprint reuses snapshot 2 (no snapshot 3)...
+    r2 = StageRunner(spark, run_dir)
+    r2.run("s", lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")),
+           fingerprint="v2")
+    assert r2.current_snapshot_id("s") == 2
+    # ...while the OLD schema's fingerprint no longer matches -> rebuild
+    r2.run("s", lambda: spark.range(5).select("id", (F.col("id") * 2).alias("x")),
+           fingerprint="v1")
+    assert r2.current_snapshot_id("s") == 3
+    assert set(r2.read("s").columns) == {"id", "x"}
