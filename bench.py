@@ -206,6 +206,60 @@ def _ceiling_probe(spark, n: int) -> float:
     return time.time() - s
 
 
+def _bw_worker(n_longs: int, reps: int, barrier, q) -> None:
+    import time as _t
+
+    import numpy as np
+
+    src = np.ones(n_longs, dtype=np.int64)
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # touch pages before the measured region
+    barrier.wait()
+    t0 = _t.time()
+    for _ in range(reps):
+        np.copyto(dst, src)
+    q.put(_t.time() - t0)
+
+
+def _bandwidth_probe(cpus_list: list[int], reps_each: int = 2) -> dict[int, float]:
+    """DRAM-bus probe (no Spark, no compute): p processes concurrently
+    stream-copying a 256 MB buffer each (working set >> L3, pure memcpy).
+    Aggregate GB/s at each p gives the memory-bandwidth component of the
+    engine's N->4N ratio its own datum — the pure-codegen ceiling probe is
+    compute-bound and cannot see bus saturation.
+    """
+    import multiprocessing as mp
+
+    mb = int(os.environ.get("BANDWIDTH_MB", "256"))
+    copies = int(os.environ.get("BANDWIDTH_COPIES", "24"))
+    n_longs = mb * 1024 * 1024 // 8
+    out: dict[int, float] = {}
+    # fork (not spawn): the worker touches only numpy, and spawn would
+    # re-import the caller's __main__ (breaks under `python - <<EOF` probes)
+    ctx = mp.get_context("fork")
+    for _ in range(reps_each):
+        for p in cpus_list:
+            barrier = ctx.Barrier(p + 1)
+            q = ctx.Queue()
+            procs = [
+                ctx.Process(target=_bw_worker, args=(n_longs, copies, barrier, q))
+                for _ in range(p)
+            ]
+            for pr in procs:
+                pr.start()
+            barrier.wait()
+            t0 = time.time()
+            for pr in procs:
+                pr.join()
+            wall = time.time() - t0
+            # read + write per copy
+            gbps = p * copies * 2 * n_longs * 8 / wall / 1e9
+            out[p] = max(out.get(p, 0.0), gbps)
+            while not q.empty():
+                q.get()
+    return out
+
+
 def run_scaling_probe() -> dict:
     """N-vs-4N parallelism evidence (the BASELINE.json north-rule criterion).
 
@@ -287,6 +341,12 @@ def run_scaling_probe() -> dict:
             "records_per_sec": round(thr, 1),
             "ceiling_probe_sec": round(ceil_t[cpus], 2),
         }
+    # DRAM-bandwidth probe at the same parallelism levels (no Spark): its own
+    # N->4N ratio is the measured bound for any shuffle-heavy stage, so the
+    # engine ratio decomposes into ceiling (compute) vs bandwidth (memory bus)
+    bw = _bandwidth_probe(cpus_list)
+    for p, gbps in bw.items():
+        scaling[f"local[{p}]"]["bandwidth_probe_gbps"] = round(gbps, 2)
     for n_small, n_big in pairs:
         t_n = scaling[f"local[{n_small}]"]["records_per_sec"]
         t_4n = scaling[f"local[{n_big}]"]["records_per_sec"]
@@ -297,9 +357,72 @@ def run_scaling_probe() -> dict:
         )
         scaling[f"efficiency_{n_small}_to_{n_big}"] = eff
         scaling[f"ceiling_{n_small}_to_{n_big}"] = ceil_eff
+        scaling[f"bandwidth_{n_small}_to_{n_big}"] = round(
+            (bw[n_big] / bw[n_small]) / factor, 3
+        )
         if (n_small, n_big) == pairs[0]:
             scaling["efficiency_N_to_4N"] = eff
     return scaling
+
+
+def run_streaming_probe() -> dict:
+    """BENCH_STREAMING=1: throughput of the streaming FPS surface — a parquet
+    file stream (Trigger.AvailableNow, bounded micro-batches) through
+    encode -> HLSH keys -> stream-static candidate join + stateful collision
+    count, against a pre-built static index of the same corpus. Reported as
+    stream records/sec wall (the streaming analog of records_per_sec_e2e).
+    """
+    import shutil
+
+    from pprl_scaling_framework_spark.blocking import hlsh
+    from pprl_scaling_framework_spark.encoding.encode import encode_dataframe
+    from pprl_scaling_framework_spark.sources import repos as repos_src
+    from pprl_scaling_framework_spark.streaming import stream_linkage as sl
+
+    n = int(os.environ.get("STREAM_ENTITIES", str(N_ENTITIES)))
+    spark = build_spark(CPUS)
+    cfg = bench_config()
+    plan = cfg.plan()
+    n_bits = cfg.encoding.total_bits
+    src_path = "/dev/shm/pprl-stream-src"
+    ckpt = "/dev/shm/pprl-stream-ckpt"
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    records = repos_src.with_uid_and_sha(
+        repos_src.synth_repos(spark, n_entities=n, seed=42, skew_every=50)
+    )
+    records.repartition(16).write.mode("overwrite").parquet(src_path)
+    static = spark.read.parquet(src_path)
+    n_records = static.count()
+    encoded = encode_dataframe(static, cfg.encoding, included=["uid"]).persist()
+    pos = hlsh.position_matrix(plan.L, cfg.hlsh_K, n_bits, cfg.hlsh_seed)
+    index = hlsh.blocking_keys(encoded, "uid", "bf", pos, n_bits).persist()
+    index.count()
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "4").parquet(src_path)
+    )
+    cands = sl.stream_candidates_against_index(
+        sl.blocking_keys_stream(sl.encode_stream(stream, cfg.encoding), pos, n_bits),
+        index, plan.C,
+    )
+    t0 = time.time()
+    q = (
+        cands.writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    spark.stop()
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "entities": n, "records": n_records,
+        "wall_sec": round(wall, 2),
+        "stream_records_per_sec": round(n_records / wall, 1),
+    }
 
 
 def run_skew_probe() -> dict:
@@ -400,6 +523,9 @@ def main() -> None:
 
     if os.environ.get("BENCH_SKEW") == "1":
         extra["skew"] = run_skew_probe()
+
+    if os.environ.get("BENCH_STREAMING") == "1":
+        extra["streaming"] = run_streaming_probe()
 
     if os.environ.get("BENCH_SCALING") == "1":
         extra["scaling"] = run_scaling_probe()
