@@ -39,10 +39,22 @@ def build_spark(cpus: int, shuffle_partitions: int | None = None):
     # the scaling bottleneck (pure-CPU and DRAM probes both scale 4->16 at
     # ~0.99 on this VM; the candidates stage didn't until the heap was raised)
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    extra = {}
+    # probe knobs (scaling experiments want a FIXED plan with minimal
+    # parallelism-independent driver work — see run_scaling_probe notes):
+    # BENCH_AQE=0 disables runtime re-planning; BENCH_BROADCAST_THRESHOLD
+    # caps driver-built broadcast hash tables (their single-threaded build
+    # time is pure non-scaling overhead that grows with the corpus)
+    if os.environ.get("BENCH_AQE") == "0":
+        extra["spark.sql.adaptive.enabled"] = "false"
+    bt = os.environ.get("BENCH_BROADCAST_THRESHOLD")
+    if bt:
+        extra["spark.sql.autoBroadcastJoinThreshold"] = bt
     spark = build_session(
         f"pprl-bench-{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=shuffle_partitions or max(cpus * 2, 16),
         prefer_shuffled_hash=True,
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
