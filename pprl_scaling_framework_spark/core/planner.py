@@ -109,14 +109,17 @@ def rbf_weighted_size(fbf_ns: list[int], weights: list[float]) -> int:
 
 
 def rbf_uniform_composition(fbf_count: int, rbf_n: int) -> list[int]:
-    """Uniform split of rbf_n bit draws across fbf_count fields."""
-    base = rbf_n // fbf_count
-    counts = [base] * fbf_count
-    counts[-1] += rbf_n - base * fbf_count
-    return counts
+    """Uniform split of rbf_n bit draws: ceil for the first field, floor for
+    the rest (``RowBloomFilterEncoding.java:112-121``). When rbf_n is not a
+    multiple of fbf_count the counts may sum to LESS than rbf_n — the
+    leftover permutation slots stay unset (0), matching the reference bit
+    layout exactly."""
+    per = rbf_n / float(fbf_count)
+    return [math.ceil(per) if i == 0 else math.floor(per) for i in range(fbf_count)]
 
 
 def rbf_weighted_composition(weights: list[float], rbf_n: int) -> list[int]:
-    counts = [int(w * rbf_n) for w in weights]
-    counts[-1] += rbf_n - sum(counts)
-    return counts
+    """Weighted draw counts ``(int)(w_i * rbfN)`` with NO remainder
+    redistribution (``RowBloomFilterEncoding.java:86-90,141-144``): leftover
+    permutation slots beyond ``sum(counts)`` stay unset (0)."""
+    return [int(w * rbf_n) for w in weights]

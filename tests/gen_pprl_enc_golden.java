@@ -13,8 +13,9 @@
 //  - FBF layout:                lib/encoding/FieldBloomFilterEncoding.java:181-215
 //    per-field BF (cleared between fields), concatenated in field order
 //  - weighted RBF size:         lib/encoding/RowBloomFilterEncoding.java:398-405
-//    rbfN = max_i((int)(fbfN_i / w_i)); composition c_i = (int)(w_i * rbfN),
-//    remainder to the last field
+//    rbfN = max_i((int)(fbfN_i / w_i)); composition c_i = (int)(w_i * rbfN)
+//    with NO remainder redistribution (RowBloomFilterEncoding.java:86-90,
+//    141-144) — permutation slots beyond sum(c_i) stay unset (0)
 //  - RBF bit selection/permute: RowBloomFilterEncoding.java:296-329,352-388
 //    per-field Random(seed_i).nextInt(fbfN_i) draw stream; destination =
 //    Collections.shuffle([0..rbfN), Random(permSeed))
@@ -61,7 +62,12 @@ public class gen_pprl_enc_golden {
                         Base64.getDecoder().decode(line.substring(c2 + 1)), StandardCharsets.UTF_8);
                 String path = uid.substring(uid.indexOf(':') + 1, uid.lastIndexOf('@'));
                 String lang = path.substring(path.lastIndexOf('.') + 1);
-                String content24 = content.substring(0, Math.min(24, content.length()));
+                // codepoint-based first-24, matching Spark F.substring over
+                // UTF8String (Java String.substring counts UTF-16 units and
+                // would silently diverge on non-BMP content)
+                StringBuilder c24 = new StringBuilder();
+                content.codePoints().limit(24).forEach(c24::appendCodePoint);
+                String content24 = c24.toString();
                 uids.add(uid);
                 fields.put(uid, new String[]{path, lang, content24});
             }
@@ -83,10 +89,10 @@ public class gen_pprl_enc_golden {
         // ---- D3: weighted RBF size + composition ----------------------------
         int rbfN = 0;
         for (int j = 0; j < nf; j++) rbfN = Math.max(rbfN, (int) (fbfSizes[j] / WEIGHTS[j]));
+        // no remainder redistribution (RowBloomFilterEncoding.java:141-144):
+        // slots beyond sum(comp) of the permutation stay 0
         int[] comp = new int[nf];
-        int compSum = 0;
-        for (int j = 0; j < nf; j++) { comp[j] = (int) (WEIGHTS[j] * rbfN); compSum += comp[j]; }
-        comp[nf - 1] += rbfN - compSum;
+        for (int j = 0; j < nf; j++) comp[j] = (int) (WEIGHTS[j] * rbfN);
 
         // selection streams + permutation (seeded Java PRNG — the
         // hash-parity-critical part this golden pins down)

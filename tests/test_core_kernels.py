@@ -184,8 +184,14 @@ def test_fbf_dynamic_size():
     # matches reference formula ceil(1/(1-0.5^(1/(g*K))))
     assert planner.fbf_dynamic_size(10.0, 15) == 217
     assert planner.rbf_weighted_size([1024, 512], [0.5, 0.5]) == 2048
-    assert sum(planner.rbf_uniform_composition(3, 4096)) == 4096
-    assert sum(planner.rbf_weighted_composition([0.3, 0.7], 1000)) == 1000
+    # reference composition semantics (RowBloomFilterEncoding.java:86-90,
+    # 112-121,141-144): ceil-first/floor-rest uniform, (int)(w*N) weighted,
+    # NO remainder redistribution — counts may sum to LESS than rbf_n and the
+    # leftover permutation slots stay unset.
+    assert planner.rbf_uniform_composition(3, 4096) == [1366, 1365, 1365]
+    assert planner.rbf_uniform_composition(3, 11) == [4, 3, 3]  # sums to 10
+    assert planner.rbf_weighted_composition([0.3, 0.7], 1000) == [300, 700]
+    assert planner.rbf_weighted_composition([0.4, 0.2, 0.4], 272) == [108, 54, 108]
 
 
 # --- EM ---------------------------------------------------------------------
