@@ -17,7 +17,15 @@ Iceberg-style table semantics (SURVEY §1.1) within plain parquet:
   Iceberg table at an old snapshot id;
 - a failed write renames its partial output ``FAILED_snap-*`` (the
   reference's recovery convention) and aborts; previously committed
-  snapshots are untouched.
+  snapshots are untouched;
+- commits are CONCURRENT-WRITER SAFE via optimistic versioned manifests
+  (Iceberg's commit protocol): each commit re-reads the latest
+  ``_manifest/v{N}.json``, applies its mutation, and publishes ``v{N+1}``
+  with an atomic exclusive hard-link — a concurrent committer that won the
+  race makes the link fail, and the loser rebases onto the fresh state and
+  retries. Snapshot directories are reserved with an exclusive ``mkdir``
+  before any data is written, so two runners can never write the same
+  ``snap-*`` path. Both writers' snapshots survive in a linear log.
 
 (The same code drives a real Iceberg catalog by swapping the parquet write
 for ``writeTo(table)`` — this sandbox has no Iceberg jars, so the snapshot
@@ -60,22 +68,87 @@ class StageMetrics:
 class StageRunner:
     """Run named stages with snapshot-logged parquet checkpoints + resume."""
 
+    #: commit retries before giving up (each retry rebases on fresh state,
+    #: so 64 losses in a row means pathological contention, not livelock)
+    MAX_COMMIT_RETRIES = 64
+
     def __init__(self, spark: SparkSession, run_dir: str, collect_lineage: bool = True) -> None:
         self.spark = spark
         self.run_dir = run_dir
         self.collect_lineage = collect_lineage
         os.makedirs(run_dir, exist_ok=True)
+        self.manifest_dir = os.path.join(run_dir, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        # legacy mirror (always the latest committed view; informational —
+        # the versioned _manifest/v*.json log is authoritative)
         self.manifest_path = os.path.join(run_dir, "manifest.json")
-        self.manifest: dict = {"stages": {}}
+        _, self.manifest = self._load_latest()
+
+    # --- optimistic versioned commits (Iceberg protocol) -------------------
+
+    def _version_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version:06d}.json")
+
+    def _load_latest(self) -> tuple[int, dict]:
+        """(version, manifest) of the newest committed manifest.
+
+        Version 0 = no versioned commit yet; falls back to a legacy
+        single-file ``manifest.json`` (pre-versioning run dirs) or an empty
+        manifest.
+        """
+        versions = sorted(
+            int(f[1:7]) for f in os.listdir(self.manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        if versions:
+            with open(self._version_path(versions[-1])) as f:
+                return versions[-1], json.load(f)
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
-                self.manifest = json.load(f)
+                return 0, json.load(f)
+        return 0, {"stages": {}}
 
-    def _save_manifest(self) -> None:
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=2, sort_keys=True)
-        os.replace(tmp, self.manifest_path)
+    def refresh(self) -> None:
+        """Re-read the latest committed manifest (see concurrent commits)."""
+        _, self.manifest = self._load_latest()
+
+    def _commit(self, apply: Callable[[dict], None]) -> None:
+        """Atomically publish a manifest mutation.
+
+        Re-reads the LATEST manifest, applies ``apply`` to it, and publishes
+        the result as the next version via an exclusive hard-link (atomic on
+        POSIX; fails with FileExistsError if a concurrent committer won the
+        version). On a lost race the mutation is re-applied to the fresh
+        state and retried — an optimistic-concurrency rebase, so concurrent
+        appends to the SAME stage both survive in the snapshot log.
+        """
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            version, manifest = self._load_latest()
+            apply(manifest)
+            tmp = os.path.join(
+                self.manifest_dir, f".tmp-{os.getpid()}-{time.monotonic_ns()}"
+            )
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=2, sort_keys=True)
+            target = self._version_path(version + 1)
+            try:
+                os.link(tmp, target)  # atomic + exclusive: loser raises
+            except FileExistsError:
+                os.remove(tmp)
+                continue  # concurrent commit won this version; rebase + retry
+            os.remove(tmp)
+            self.manifest = manifest
+            # refresh the legacy mirror (last-committer-wins is fine here:
+            # readers of record go through _manifest/)
+            mirror_tmp = self.manifest_path + ".tmp"
+            with open(mirror_tmp, "w") as f:
+                json.dump(manifest, f, indent=2, sort_keys=True)
+            os.replace(mirror_tmp, self.manifest_path)
+            return
+        raise RuntimeError(
+            f"manifest commit lost {self.MAX_COMMIT_RETRIES} races in "
+            f"{self.manifest_dir}; aborting"
+        )
 
     def _snapshot_path(self, name: str, snapshot_id: int) -> str:
         return os.path.join(self.run_dir, name, f"snap-{snapshot_id:05d}")
@@ -148,6 +221,7 @@ class StageRunner:
         resume, the round-2 behavior). On mismatch a NEW snapshot is
         appended; older snapshots remain readable via :meth:`read_at`.
         """
+        self.refresh()  # see concurrent writers' commits before deciding
         entry = self.manifest["stages"].get(name)
         if entry and entry.get("status") == "ok":
             cur = entry.get("current")
@@ -161,9 +235,26 @@ class StageRunner:
             ):
                 return self.read_at(name, cur)
 
-        prior = self.snapshots(name)
-        snapshot_id = max((s["id"] for s in prior), default=0) + 1
-        path = self._snapshot_path(name, snapshot_id)
+        # reserve the snapshot directory EXCLUSIVELY (atomic mkdir) so a
+        # concurrent runner can never write the same snap-* path; ids are
+        # derived from both the log and the directory listing because a
+        # concurrent writer may have reserved an id it hasn't committed yet
+        stage_dir = os.path.join(self.run_dir, name)
+        os.makedirs(stage_dir, exist_ok=True)
+        disk_ids = [
+            int(d.split("snap-")[-1]) for d in os.listdir(stage_dir)
+            if "snap-" in d and d.split("snap-")[-1].isdigit()
+        ]
+        snapshot_id = max(
+            [s["id"] for s in self.snapshots(name)] + disk_ids, default=0
+        ) + 1
+        while True:
+            path = self._snapshot_path(name, snapshot_id)
+            try:
+                os.makedirs(path)
+                break
+            except FileExistsError:
+                snapshot_id += 1
         t0 = time.time()
         df = build()
         if repartition:
@@ -176,13 +267,18 @@ class StageRunner:
             failed = os.path.join(self.run_dir, name, f"FAILED_snap-{snapshot_id:05d}")
             if os.path.exists(path):
                 os.replace(path, failed)
-            self.manifest["stages"][name] = {
-                "status": "failed",
-                "ts": time.time(),
-                "snapshots": prior,
-                "current": self.manifest["stages"].get(name, {}).get("current"),
-            }
-            self._save_manifest()
+
+            def apply_failed(m: dict) -> None:
+                e = m["stages"].get(name, {})
+                m["stages"][name] = {
+                    "status": "failed",
+                    "ts": time.time(),
+                    "snapshots": e.get("snapshots", []),
+                    "current": e.get("current"),
+                    **({"metrics": e["metrics"]} if "metrics" in e else {}),
+                }
+
+            self._commit(apply_failed)
             raise
         out = self.spark.read.parquet(path)
         seconds = time.time() - t0
@@ -209,15 +305,21 @@ class StageRunner:
             "schema": out.schema.simpleString(),
             "metrics": metrics.to_dict(),
         }
-        self.manifest["stages"][name] = {
-            "status": "ok",
-            "ts": time.time(),
-            "current": snapshot_id,
-            "snapshots": prior + [snap_record],
-            # top-level mirror of the current snapshot's metrics (stable API)
-            "metrics": metrics.to_dict(),
-        }
-        self._save_manifest()
+
+        def apply_ok(m: dict) -> None:
+            e = m["stages"].get(name, {})
+            snaps = [s for s in e.get("snapshots", []) if s["id"] != snapshot_id]
+            snaps = sorted(snaps + [snap_record], key=lambda s: s["id"])
+            m["stages"][name] = {
+                "status": "ok",
+                "ts": time.time(),
+                "current": snapshot_id,
+                "snapshots": snaps,
+                # top-level mirror of the current snapshot's metrics (stable API)
+                "metrics": metrics.to_dict(),
+            }
+
+        self._commit(apply_ok)
         return out
 
     def metrics(self) -> list[dict]:
