@@ -128,11 +128,12 @@ def run_pipeline(
         rep_records, uid_to_rep = collapse_exact_duplicates(records, "uid", "content")
         encoded = encode_dataframe(rep_records, cfg.encoding, included=["uid"]).persist()
         pos = hlsh.position_matrix(plan.L, cfg.hlsh_K, n_bits, cfg.hlsh_seed)
-        keys = hlsh.blocking_keys(encoded, "uid", "bf", pos, n_bits).persist()
+        keys = hlsh.blocking_keys(encoded, "uid", "bf", pos, n_bits, hash_uid=True).persist()
         cands = fps.candidate_pairs(
             keys, None, C=plan.C, hot_threshold=cfg.hot_threshold,
             shards=cfg.salt_shards, self_join=True,
             max_bucket=cfg.max_bucket, uids_a=encoded,
+            key_bits=cfg.hlsh_K, n_groups=plan.L,
         )
         matches = matched_pairs(cands, encoded, cfg.method, cfg.threshold, n_bits)
         counts["matched_pairs"] = matches.count()
@@ -156,7 +157,7 @@ def run_pipeline(
 
     s = time.time()
     pos = hlsh.position_matrix(plan.L, cfg.hlsh_K, n_bits, cfg.hlsh_seed)
-    keys = hlsh.blocking_keys(encoded, "uid", "bf", pos, n_bits).persist()
+    keys = hlsh.blocking_keys(encoded, "uid", "bf", pos, n_bits, hash_uid=True).persist()
     counts["blocking_keys"] = keys.count()
     t["block"] = time.time() - s
 
@@ -165,6 +166,7 @@ def run_pipeline(
         keys, None, C=plan.C, hot_threshold=cfg.hot_threshold,
         shards=cfg.salt_shards, self_join=True,
         max_bucket=cfg.max_bucket, uids_a=encoded,
+        key_bits=cfg.hlsh_K, n_groups=plan.L,
     ).persist()
     counts["candidate_pairs"] = cands.count()
     t["candidates"] = time.time() - s

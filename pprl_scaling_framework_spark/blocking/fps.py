@@ -47,6 +47,7 @@ def _salted_sides(
     hot_threshold: int,
     shards: int,
     max_bucket: int | None = None,
+    bucket_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Attach salt columns; optionally drop uninformative mega-buckets.
 
@@ -60,7 +61,7 @@ def _salted_sides(
     from ..ops.bucket_join import salted_sides
 
     return salted_sides(
-        keys_a, keys_b, ["group_id", "key"], "uid",
+        keys_a, keys_b, bucket_cols or ["group_id", "key"], "uid",
         hot_threshold, shards, max_bucket,
     )
 
@@ -75,6 +76,8 @@ def candidate_pairs(
     max_bucket: int | None = None,
     uids_a: DataFrame | None = None,
     uids_b: DataFrame | None = None,
+    key_bits: int | None = None,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """-> (id_a, id_b, collisions) with collisions >= C.
 
@@ -85,7 +88,16 @@ def candidate_pairs(
     Shuffle-volume note: the join + count run on ``rid = xxhash64(uid)``
     (8 bytes) instead of the uid string; uids are re-attached afterwards via
     broadcast dictionaries. (64-bit surrogates are collision-safe to ~10^8
-    records per side; beyond that swap in a 128-bit surrogate.)
+    records per side; beyond that swap in a 128-bit surrogate.) A caller that
+    built keys with ``hlsh.blocking_keys(..., hash_uid=True)`` (bigint uid)
+    skips the per-exploded-row re-hash entirely.
+
+    ``key_bits`` + ``n_groups`` (both the HLSH plan's K and L): when the
+    packed value fits an int64, ``(group_id, key)`` is collapsed into ONE
+    long bucket column ``(group_id << key_bits) | key`` — lossless (keys are
+    K-bit non-negative), so bucket membership is identical, but every
+    downstream shuffle row, join hash, and aggregation key is one word
+    instead of an (int, long) pair.
     """
     if self_join:
         keys_b = keys_a
@@ -101,14 +113,37 @@ def candidate_pairs(
     else:
         src_b = uids_b.select("uid") if uids_b is not None else keys_b.select("uid").distinct()
         dict_b = src_b.withColumn("rid", F.xxhash64("uid"))
-    ka = keys_a.select(F.xxhash64("uid").alias("uid"), "group_id", "key")
+
+    def _rid_keys(keys: DataFrame) -> DataFrame:
+        # bigint uid = already the xxhash64 surrogate (hash_uid=True path)
+        if dict(keys.dtypes).get("uid") == "bigint":
+            return keys.select("uid", "group_id", "key")
+        return keys.select(F.xxhash64("uid").alias("uid"), "group_id", "key")
+
+    pack = (
+        key_bits is not None and n_groups is not None
+        and key_bits + max((n_groups - 1).bit_length(), 1) <= 63
+    )
+    bucket_cols = ["gk"] if pack else ["group_id", "key"]
+
+    def _packed(keys: DataFrame) -> DataFrame:
+        if not pack:
+            return keys
+        gk = F.shiftleft(F.col("group_id").cast("long"), key_bits).bitwiseOR(
+            F.col("key")
+        )
+        return keys.select("uid", gk.alias("gk"))
+
+    ka = _packed(_rid_keys(keys_a))
     # same OBJECT for a self-join: salted_sides sizes buckets on one side
     # when `keys_a is keys_b` and on the union of both sides otherwise
-    kb = ka if self_join else keys_b.select(F.xxhash64("uid").alias("uid"), "group_id", "key")
+    kb = ka if self_join else _packed(_rid_keys(keys_b))
 
-    a, b = _salted_sides(ka, kb, hot_threshold, shards, max_bucket)
+    a, b = _salted_sides(
+        ka, kb, hot_threshold, shards, max_bucket, bucket_cols=bucket_cols
+    )
     joined = a.alias("a").join(
-        b.alias("b"), ["group_id", "key", "salt"], "inner"
+        b.alias("b"), [*bucket_cols, "salt"], "inner"
     ).select(F.col("a.uid").alias("rid_a"), F.col("b.uid").alias("rid_b"))
 
     if self_join:

@@ -71,10 +71,22 @@ def blocking_keys(
     bf_col: str,
     positions: np.ndarray,
     n_bits: int,
+    hash_uid: bool = False,
 ) -> DataFrame:
-    """-> (uid, group_id int, key long): L rows per record."""
+    """-> (uid, group_id int, key long): L rows per record.
+
+    ``hash_uid``: emit ``xxhash64(uid)`` (int64 surrogate) instead of the uid
+    string — hashed BEFORE the L-way explode, so the L rows per record carry
+    8 bytes of id instead of a ~60-byte string (the surrogate the FPS join
+    uses anyway; ``fps.candidate_pairs`` detects the bigint uid and skips
+    re-hashing). Shrinks the persisted key set and every downstream shuffle.
+    """
     udf = hlsh_keys_udf(positions, n_bits)
+    uid_expr = (
+        F.xxhash64(F.col(uid_col)).alias("uid") if hash_uid
+        else F.col(uid_col).alias("uid")
+    )
     return (
-        df.select(F.col(uid_col).alias("uid"), udf(F.col(bf_col)).alias("_keys"))
+        df.select(uid_expr, udf(F.col(bf_col)).alias("_keys"))
         .select("uid", F.posexplode("_keys").alias("group_id", "key"))
     )

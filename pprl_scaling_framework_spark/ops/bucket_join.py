@@ -24,6 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: flagged-table broadcast cutoff (rows). The hot tail is bounded by
+#: rows/hot_threshold but we only broadcast when it is MEASURED small:
+#: ~40 B/row -> <=10 MB broadcast, microseconds of driver build time.
+HOT_BROADCAST_MAX_ROWS = 250_000
+
+
 def salted_sides(
     keys_a: DataFrame,
     keys_b: DataFrame,
@@ -32,6 +38,7 @@ def salted_sides(
     hot_threshold: int,
     shards: int,
     max_bucket: int | None = None,
+    materialize_hot: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Attach ``salt`` columns for a skew-safe join on ``bucket_cols + salt``.
 
@@ -46,6 +53,16 @@ def salted_sides(
       (capped at ``shards``), B replicated across those shards; every pair
       still meets exactly once per bucket, counts unchanged;
     - ``sz <= hot_threshold``: salt 0.
+
+    ``materialize_hot`` (default): the hot tail is persisted + counted once,
+    and BROADCAST into both tag joins when measured small (the overwhelmingly
+    common case — it is bounded by ``rows / hot_threshold`` and is usually a
+    few thousand rows). Without it, with AQE disabled or cost-based stats
+    unavailable, Catalyst shuffle-joins the FULL key set against the sizes
+    aggregate TWICE (once per side) — measured as ~30% of the candidates
+    stage at 10M keys. A measured-large hot tail (pathological skew) stays a
+    persisted shuffle join: never a driver-built broadcast of an unbounded
+    table. Tiering is exact either way — salting/caps never guess.
     """
     size_src = (
         keys_b.select(*bucket_cols)
@@ -60,8 +77,10 @@ def salted_sides(
         *bucket_cols, n_shards.alias("_ns"),
         (F.col("_bs") > max_bucket if max_bucket is not None else F.lit(False)).alias("_mega"),
     )
-    # no forced broadcast: flagged grows with the corpus; AQE broadcasts it
-    # while it fits
+    if materialize_hot:
+        flagged = flagged.persist()
+        if flagged.count() <= HOT_BROADCAST_MAX_ROWS:
+            flagged = F.broadcast(flagged)
     a = (
         keys_a.join(flagged, bucket_cols, "left")
         .filter(F.col("_mega").isNull() | ~F.col("_mega"))
@@ -98,6 +117,7 @@ def salted_pair_candidates(
     max_bucket: int | None = None,
     dedup: bool = True,
     keep_bucket_cols: bool = False,
+    materialize_hot: bool = True,
 ) -> DataFrame:
     """-> distinct (id_a, id_b[, <payload>_a, <payload>_b]) with id_a < id_b.
 
@@ -113,7 +133,8 @@ def salted_pair_candidates(
     (useful when the caller's result is keyed by block, e.g. J1).
     """
     a, b = salted_sides(
-        keyed, keyed, bucket_cols, id_col, hot_threshold, shards, max_bucket
+        keyed, keyed, bucket_cols, id_col, hot_threshold, shards, max_bucket,
+        materialize_hot=materialize_hot,
     )
     sel_a = [F.col(f"a.{id_col}").alias("id_a")] + [
         F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols

@@ -166,12 +166,16 @@ def run_dedup_pipeline(
 
     encoded = stage("encode", lambda: encode_dataframe(
         records, config.encoding, included=[uid_col]), reused=True)
+    # hash_uid: the exploded key set carries the 8-byte xxhash64 surrogate
+    # instead of the uid string; key_bits/n_groups pack (group_id, key) into
+    # one long downstream — both shrink every candidates-stage shuffle row
     keys = stage("block", lambda: hlsh.blocking_keys(
-        encoded, uid_col, "bf", pos, n_bits))
+        encoded, uid_col, "bf", pos, n_bits, hash_uid=True))
     cands = stage("candidates", lambda: fps.candidate_pairs(
         keys, None, C=plan.C, hot_threshold=config.hot_threshold,
         shards=config.salt_shards, self_join=True,
-        max_bucket=config.max_bucket, uids_a=encoded))
+        max_bucket=config.max_bucket, uids_a=encoded,
+        key_bits=config.hlsh_K, n_groups=plan.L))
     matches = stage("match", lambda: _matched_pairs(
         cands, encoded, config.method, config.threshold, n_bits))
     clusters = None
@@ -215,12 +219,15 @@ def run_linkage_pipeline(
         records_a, config_a.encoding, included=[uid_col]), reused=True)
     enc_b = stage("encode_b", lambda: encode_dataframe(
         records_b, enc_cfg_b, included=[uid_col]), reused=True)
-    keys_a = stage("block_a", lambda: hlsh.blocking_keys(enc_a, uid_col, "bf", pos, n_bits))
-    keys_b = stage("block_b", lambda: hlsh.blocking_keys(enc_b, uid_col, "bf", pos, n_bits))
+    keys_a = stage("block_a", lambda: hlsh.blocking_keys(
+        enc_a, uid_col, "bf", pos, n_bits, hash_uid=True))
+    keys_b = stage("block_b", lambda: hlsh.blocking_keys(
+        enc_b, uid_col, "bf", pos, n_bits, hash_uid=True))
     cands = stage("candidates", lambda: fps.candidate_pairs(
         keys_a, keys_b, C=plan.C, hot_threshold=config_a.hot_threshold,
         shards=config_a.salt_shards, max_bucket=config_a.max_bucket,
-        uids_a=enc_a, uids_b=enc_b))
+        uids_a=enc_a, uids_b=enc_b,
+        key_bits=config_a.hlsh_K, n_groups=plan.L))
     matches = stage("match", lambda: _matched_pairs(
         cands, enc_a, config_a.method, config_a.threshold, n_bits, encoded_b=enc_b))
     return LinkageResult(plan, enc_a, keys_a, cands, matches, None)
