@@ -148,12 +148,15 @@ def minhash_lsh_pairs(
     # small parquet sources arrive as one partition; spread the per-row
     # shingle/signature compute before the heavy lambda work. Strings leave
     # the plan immediately after shingling: the signature AND the exact
-    # verification run on 56-bit gram hashes (one md5 per gram).
+    # verification run on 56-bit gram hashes (one md5 per gram). base is
+    # PERSISTED: five downstream branches consume it (bucket sizing, both
+    # salted join sides, both gram re-attach joins) and would otherwise
+    # re-shingle the corpus once each.
     spread = max(df.sparkSession.sparkContext.defaultParallelism, 8)
     base = df.repartition(spread).select(
         F.col(id_col).alias("id"),
         gram_hashes(char_shingles(text_col, q)).alias("hg"),
-    ).withColumn("sig", signature_from_hashes(F.col("hg"), num_hashes, seed))
+    ).withColumn("sig", signature_from_hashes(F.col("hg"), num_hashes, seed)).persist()
 
     # NB (scale): the bucket join carries only (bucket, id, gram COUNT) — the
     # gram arrays are re-attached AFTER the pair set is deduplicated AND
@@ -184,6 +187,12 @@ def minhash_lsh_pairs(
         F.least("ng_a", "ng_b").cast("double")
         >= F.lit(threshold) * F.greatest("ng_a", "ng_b")
     ).drop("ng_a", "ng_b")
+    # re-spread the verified pair set: AQE coalesces the distinct's output by
+    # its BYTES (ids only — a few MB), but each row fans into two gram-array
+    # attaches + an exact intersect downstream; without this the verify stage
+    # runs on a handful of coalesced tasks (measured: 21 tasks / 32 cores,
+    # 1.3-1.8x op wall)
+    cands = cands.repartition(spread)
     hashes_only = base.select("id", "hg")
     with_hashes = (
         cands.join(hashes_only.withColumnRenamed("id", "id_a")
@@ -214,11 +223,14 @@ def ngram_jaccard_pairs(
     gram-array payload per candidate row); grams re-attach after the pair set
     is canonical.
     """
-    base = df.select(
+    # persisted + spread for the same reasons as minhash_lsh_pairs: five
+    # consumers, and AQE under-parallelizes the array-attach/verify stage
+    spread = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    base = df.repartition(spread).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         char_shingles(text_col, q).alias("grams"),
-    )
+    ).persist()
     cands = salted_pair_candidates(
         base.select("block", "id", F.size("grams").alias("ng")), ["block"],
         payload_cols=("ng",),
@@ -229,7 +241,7 @@ def ngram_jaccard_pairs(
     cands = cands.filter(
         F.least("ng_a", "ng_b").cast("double")
         >= F.lit(threshold) * F.greatest("ng_a", "ng_b")
-    ).drop("ng_a", "ng_b")
+    ).drop("ng_a", "ng_b").repartition(spread)
     grams_only = base.select("id", "grams")
     with_grams = (
         cands.join(grams_only.withColumnRenamed("id", "id_a")
@@ -275,7 +287,9 @@ def simhash_near_pairs(
     hot_threshold: int = 2000, shards: int = 16,
 ) -> DataFrame:
     """Hamming near-dup candidates: pairs agreeing on >= 1 of 4 simhash bands."""
-    sh = simhash(df, id_col, text_col, q, bits)
+    # persisted: the banded explode feeds bucket sizing + both salted sides,
+    # which would otherwise recompute the per-bit majority aggregation thrice
+    sh = simhash(df, id_col, text_col, q, bits).persist()
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     banded = sh.select(
