@@ -196,19 +196,27 @@ def decode_avi(data: bytes) -> tuple[int, int, int, list[np.ndarray]] | None:
     ``(width, height, usec_per_frame, frames)`` (frames flat top-down RGB).
 
     Parses the published RIFF layout only (the WAV parser's sibling): the
-    ``hdrl`` LIST's ``avih`` (frame timing + dimensions) and ``strf``
-    BITMAPINFOHEADER (must be 24-bit uncompressed), then every ``..db``/
-    ``..dc`` chunk inside the ``movi`` LIST. Anything else -> None.
+    ``hdrl`` LIST's ``avih`` (frame timing + dimensions), the ``strh``
+    stream headers (streams are numbered by strh order; the VIDEO stream is
+    the one whose fccType is ``vids``, and its ``strf`` BITMAPINFOHEADER
+    must be 24-bit uncompressed), then every ``{NN}db``/``{NN}dc`` chunk
+    inside the ``movi`` LIST whose two-digit prefix NN matches the video
+    stream's index — a multi-stream file (e.g. audio + video) decodes its
+    video frames only. A video frame chunk appearing before ``avih`` is a
+    malformed file (None), not a silent skip. Anything else -> None.
     """
     if data[:4] != b"RIFF" or len(data) < 12 or data[8:12] != b"AVI ":
         return None
     w = h = None
     usec = 0
     bpp_ok = False
+    n_streams = 0          # strh chunks seen so far = next stream index
+    vid_stream = None      # index of the 'vids' stream
+    last_strh_vids = False  # does the pending strf belong to the video stream?
     frames: list[np.ndarray] = []
 
     def walk(lo: int, hi: int, in_movi: bool) -> bool:
-        nonlocal w, h, usec, bpp_ok
+        nonlocal w, h, usec, bpp_ok, n_streams, vid_stream, last_strh_vids
         i = lo
         while i + 8 <= hi:
             cid = data[i : i + 4]
@@ -225,19 +233,37 @@ def decode_avi(data: bytes) -> tuple[int, int, int, list[np.ndarray]] | None:
                     "<10I", data, body_lo
                 )
                 w, h = aw, ah
+            elif cid == b"strh":
+                if size < 4:
+                    return False
+                if data[body_lo : body_lo + 4] == b"vids":
+                    if vid_stream is not None:
+                        return False  # two video streams: unsupported
+                    vid_stream = n_streams
+                    last_strh_vids = True
+                else:
+                    last_strh_vids = False
+                n_streams += 1
             elif cid == b"strf":
-                if size >= 40:
+                # only the VIDEO stream's format chunk gates bpp_ok; an
+                # audio strf (fmt-like body) is ignored
+                if last_strh_vids and size >= 40:
                     _, bw, bh, planes, bpp, comp = struct.unpack_from(
                         "<IiiHHI", data, body_lo
                     )
                     if bpp == 24 and comp == 0:
                         bpp_ok = True
+                last_strh_vids = False
             elif in_movi and len(cid) == 4 and cid[2:] in (b"db", b"dc"):
-                if w and h:
-                    frame = _dib_frame_to_rgb(data[body_lo:body_hi], w, h)
-                    if frame is None:
-                        return False
-                    frames.append(frame)
+                if vid_stream is None or cid[:2] != b"%02d" % vid_stream:
+                    i += 8 + size + (size & 1)
+                    continue  # another stream's payload (e.g. audio '01wb')
+                if not (w and h):
+                    return False  # video frame before avih: malformed
+                frame = _dib_frame_to_rgb(data[body_lo:body_hi], w, h)
+                if frame is None:
+                    return False
+                frames.append(frame)
             i += 8 + size + (size & 1)  # chunks are word-aligned
         return True
 

@@ -99,6 +99,13 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int, seed: int = 11) -
     return out.cast("int")
 
 
+#: query sets at or below this row count are broadcast into the bucket join;
+#: larger sets (corpus-sized query batches, self-ANN) go through the salted
+#: shuffle bucket join — a corpus-scale query side must never be a
+#: driver-built broadcast
+QUERY_BROADCAST_MAX_ROWS = 100_000
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,8 +115,23 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 11,
+    query_broadcast_max: int = QUERY_BROADCAST_MAX_ROWS,
+    hot_threshold: int = 2000,
+    shards: int = 16,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket."""
+    """Approximate top-k: candidates share the query's hyperplane bucket.
+
+    Two physical paths, identical output:
+
+    - measured-small query set (``<= query_broadcast_max`` rows): queries are
+      broadcast into the bucket join — one corpus pass, no shuffle;
+    - large query set: both sides are keyed by bucket and joined through the
+      SALTED shuffle machinery (``ops.bucket_join.salted_sides`` — corpus
+      side sharded on hot buckets, query side replicated across shards, every
+      co-bucket pair meets exactly once), ids-only through the join with
+      vectors re-attached for the exact rescore. This is the 100 TB path: the
+      query batch partitions like any other table and is never collected.
+    """
     sig = lambda col: hyperplane_signature(col, dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -117,11 +139,35 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("bucket", sig(F.col("q_vec")))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
-    )
+
+    if queries.count() <= query_broadcast_max:
+        scored = (
+            c.join(F.broadcast(q), "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        )
+    else:
+        from .bucket_join import salted_sides
+
+        ca = c.select("bucket", F.col("neighbor_id").alias("id"))
+        qa = q.select("bucket", F.col("query_id").alias("id"))
+        side_c, side_q = salted_sides(
+            ca, qa, ["bucket"], "id", hot_threshold, shards
+        )
+        pair_ids = (
+            side_c.alias("c").join(side_q.alias("q"), ["bucket", "salt"])
+            .select(
+                F.col("c.id").alias("neighbor_id"),
+                F.col("q.id").alias("query_id"),
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+        scored = (
+            pair_ids
+            .join(c.select("neighbor_id", "c_vec"), "neighbor_id")
+            .join(q.select("query_id", "q_vec"), "query_id")
+            .withColumn("cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

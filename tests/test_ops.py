@@ -132,6 +132,33 @@ def test_lsh_topk_reasonable_recall(emb):
     assert hits >= 3  # bucketed ANN finds a decent share of true top-1s
 
 
+def test_lsh_topk_nonbroadcast_path_identical(emb):
+    """The corpus-sized-query path (salted shuffle bucket join) must produce
+    EXACTLY the broadcast path's output — same pairs, same ranks. Forced by
+    query_broadcast_max=0; self-ANN (queries == corpus) is the corpus-scale
+    case the broadcast path must never see."""
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+            for r in df.collect()
+        )
+
+    # small query batch: both paths
+    qs = emb.filter(F.col("vec_id") < 10)
+    via_broadcast = rows(similarity_search.lsh_topk(
+        emb, qs, dim=64, k=3, n_planes=4))
+    via_shuffle = rows(similarity_search.lsh_topk(
+        emb, qs, dim=64, k=3, n_planes=4, query_broadcast_max=0))
+    assert via_broadcast == via_shuffle and len(via_shuffle) > 0
+
+    # corpus-sized query set (self-ANN) through the shuffle path
+    self_ann = rows(similarity_search.lsh_topk(
+        emb, emb, dim=64, k=2, n_planes=4, query_broadcast_max=0))
+    self_ann_b = rows(similarity_search.lsh_topk(
+        emb, emb, dim=64, k=2, n_planes=4))
+    assert self_ann == self_ann_b and len(self_ann) > 0
+
+
 def test_text_metrics(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog"), (2, ""), (3, "a1 2b!! ??")], ["id", "t"]
@@ -306,3 +333,127 @@ def test_multimodal_video_codec(spark):
     with _pytest.raises(Exception):
         multimodal.decode_video(bad).collect()
     assert multimodal.decode_video(bad, on_undecodable="skip").count() == 0
+
+
+def _avi_chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _avi_list(ltype: bytes, body: bytes) -> bytes:
+    return _avi_chunk(b"LIST", ltype + body)
+
+
+def test_decode_avi_multistream_audio_video():
+    """Spec-valid AVI with an AUDIO stream (index 0) ahead of the video
+    stream (index 1): only '01db' chunks are frames; the audio strf and
+    '01wb' audio payloads must be ignored (ADVICE r4: the old parser took
+    any '..db' chunk and any 24-bit-looking strf)."""
+    import struct
+
+    import numpy as np
+
+    from pprl_scaling_framework_spark.ops import multimodal
+
+    w, h, fps = 4, 3, 10
+    frame = np.arange(w * h * 3, dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    img = frame.reshape(h, w, 3)[:, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img.reshape(h, w * 3)
+    dib = rows[::-1].tobytes()
+    frame_size = stride * h
+
+    avih = struct.pack("<10I16x", 1_000_000 // fps, frame_size * fps, 0, 0,
+                       1, 0, 2, frame_size, w, h)
+    strh_aud = (b"auds" + b"\x00" * 4
+                + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 100, 2, 0)
+                + struct.pack("<I4H", 0, 0, 0, 0, 0))
+    strf_aud = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)  # WAVEFORMATEX
+    strh_vid = (b"vids" + b"DIB "
+                + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, 1, frame_size, 0)
+                + struct.pack("<I4H", 0, 0, 0, w, h))
+    strf_vid = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = _avi_list(
+        b"hdrl", _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh_aud) + _avi_chunk(b"strf", strf_aud))
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh_vid) + _avi_chunk(b"strf", strf_vid))
+    )
+    movi = _avi_list(b"movi",
+                     _avi_chunk(b"01wb", b"\x00" * 64)    # audio payload: skip
+                     + _avi_chunk(b"01db", dib)           # the video frame
+                     + _avi_chunk(b"01wb", b"\x01" * 64))
+    data = _avi_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+    decoded = multimodal.decode_avi(data)
+    assert decoded is not None
+    got_w, got_h, usec, frames = decoded
+    assert (got_w, got_h, usec) == (w, h, 100_000)
+    assert len(frames) == 1
+    assert np.array_equal(frames[0], frame)
+
+    # same container but frames tagged with the AUDIO stream's index ('00db')
+    # must decode no frames -> None (no video payload)
+    bad_movi = _avi_list(b"movi", _avi_chunk(b"00db", dib))
+    assert multimodal.decode_avi(_avi_chunk(b"RIFF", b"AVI " + hdrl + bad_movi)) is None
+
+
+def test_decode_avi_frame_before_avih_is_malformed():
+    """A video frame chunk arriving before avih (no dimensions yet) is a
+    malformed file: None, not a silent skip."""
+    import struct
+
+    import numpy as np
+
+    from pprl_scaling_framework_spark.ops import multimodal
+
+    good = multimodal.encode_avi(4, 3, 10, [np.arange(36, dtype=np.uint8)])
+    # movi LIST spliced BEFORE hdrl
+    assert good[:4] == b"RIFF"
+    body = good[12:]
+    (hdrl_size,) = struct.unpack_from("<I", body, 4)
+    hdrl_chunk = body[: 8 + hdrl_size + (hdrl_size & 1)]
+    movi_chunk = body[len(hdrl_chunk):]
+    reordered = _avi_chunk(b"RIFF", b"AVI " + movi_chunk + hdrl_chunk)
+    assert multimodal.decode_avi(reordered) is None
+
+
+def test_media_decode_pil_branch(spark):
+    """PIL-present coverage (skipped in environments without PIL): the
+    use_pil branch must decode a real PNG and honor the skip/error
+    contract for undecodable payloads."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from pprl_scaling_framework_spark.ops import multimodal
+
+    w, h = 6, 4
+    px = (np.arange(w * h * 3, dtype=np.uint8) * 7 % 256).reshape(h, w, 3)
+    buf = io.BytesIO()
+    Image.fromarray(px, "RGB").save(buf, format="PNG")
+    rows = [
+        (1, "image", "image/png", bytearray(buf.getvalue()),
+         {"width": w, "height": h, "channels": 3, "duration_ms": None,
+          "sample_rate": None, "n_frames": None}),
+        (2, "image", "application/octet-stream", bytearray(b"\x99garbage\x00" * 4),
+         {"width": None, "height": None, "channels": None, "duration_ms": None,
+          "sample_rate": None, "n_frames": None}),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    ok = multimodal.decode_image(df.filter("media_id = 1")).collect()
+    assert len(ok) == 1
+    assert (ok[0]["width"], ok[0]["height"], ok[0]["channels"]) == (w, h, 3)
+    assert abs(ok[0]["mean_intensity"] - float(px.mean())) < 1e-6
+
+    # skip contract: garbage dropped, PNG kept
+    kept = multimodal.decode_image(df, on_undecodable="skip").collect()
+    assert [r["media_id"] for r in kept] == [1]
+    # error contract: garbage raises
+    with pytest.raises(Exception):
+        multimodal.decode_image(df).collect()
