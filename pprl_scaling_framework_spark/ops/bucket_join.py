@@ -20,6 +20,8 @@ worthless and quadratic).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,7 +40,7 @@ def salted_sides(
     hot_threshold: int,
     shards: int,
     max_bucket: int | None = None,
-    materialize_hot: bool = True,
+    materialize_hot: bool | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Attach ``salt`` columns for a skew-safe join on ``bucket_cols + salt``.
 
@@ -77,6 +79,11 @@ def salted_sides(
         *bucket_cols, n_shards.alias("_ns"),
         (F.col("_bs") > max_bucket if max_bucket is not None else F.lit(False)).alias("_mega"),
     )
+    if materialize_hot is None:
+        # default on; PPRL_MATERIALIZE_HOT=0 flips the fleet for A/B runs —
+        # the trade is one extra action (the count) + a driver-built
+        # broadcast vs two full-key-set shuffle joins against the sizes agg
+        materialize_hot = os.environ.get("PPRL_MATERIALIZE_HOT", "1") != "0"
     if materialize_hot:
         flagged = flagged.persist()
         if flagged.count() <= HOT_BROADCAST_MAX_ROWS:
@@ -117,7 +124,7 @@ def salted_pair_candidates(
     max_bucket: int | None = None,
     dedup: bool = True,
     keep_bucket_cols: bool = False,
-    materialize_hot: bool = True,
+    materialize_hot: bool | None = None,
 ) -> DataFrame:
     """-> distinct (id_a, id_b[, <payload>_a, <payload>_b]) with id_a < id_b.
 

@@ -28,6 +28,25 @@ def token_count(col: str | Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer alternation, simplified to the lookahead-free
+# subset shared by Java regex (Spark) and RE2 (DuckDB): contractions, an
+# optional-leading-space letter run, digit run, other-symbol run, then bare
+# whitespace runs. Every character lands in exactly one leftmost-first match,
+# so the match COUNT is a well-defined token count on both engines.
+BPE_ISH_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """BPE-ish token count: number of GPT-2-style pre-tokenizer matches
+    (the standard LLM-training proxy for tokens-per-document when the real
+    BPE vocab isn't loaded). Native `regexp_extract_all` — stays in codegen."""
+    t = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def punct_ratio(col: str | Column) -> Column:
     t = F.col(col) if isinstance(col, str) else col
     n = F.length(t)

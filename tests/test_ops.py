@@ -173,6 +173,20 @@ def test_text_metrics(spark):
     assert lang[2] == "und"
 
 
+def test_bpe_token_count(spark):
+    # expectations mirror the GPT-2 pre-tokenizer subset: leading space
+    # attaches to the following letter/digit/symbol run, contractions split,
+    # whitespace runs count as one token, empty -> 0 (verified identical in
+    # DuckDB RE2 for the oracle)
+    df = spark.createDataFrame(
+        [(1, "def foo(x):"), (2, "it's a test 123"), (3, "  leading space"),
+         (4, ""), (5, "a_b-c")], ["id", "t"]
+    )
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", text.bpe_token_count("t").alias("n")).collect()}
+    assert got == {1: 5, 2: 5, 3: 3, 4: 0, 5: 5}
+
+
 def test_fingerprint_normalizes(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "world hello"), (3, "other")], ["id", "t"]
