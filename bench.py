@@ -140,7 +140,7 @@ def run_pipeline(
             keys, None, C=plan.C, hot_threshold=cfg.hot_threshold,
             shards=cfg.salt_shards, self_join=True,
             max_bucket=cfg.max_bucket, uids_a=encoded,
-            key_bits=cfg.hlsh_K, n_groups=plan.L,
+            key_bits=cfg.hlsh_K, n_groups=plan.L, uids_hashed=True,
         )
         matches = matched_pairs(cands, encoded, cfg.method, cfg.threshold, n_bits)
         counts["matched_pairs"] = matches.count()
@@ -173,7 +173,7 @@ def run_pipeline(
         keys, None, C=plan.C, hot_threshold=cfg.hot_threshold,
         shards=cfg.salt_shards, self_join=True,
         max_bucket=cfg.max_bucket, uids_a=encoded,
-        key_bits=cfg.hlsh_K, n_groups=plan.L,
+        key_bits=cfg.hlsh_K, n_groups=plan.L, uids_hashed=True,
     ).persist()
     counts["candidate_pairs"] = cands.count()
     t["candidates"] = time.time() - s
@@ -204,11 +204,17 @@ def run_ops_queries(spark) -> dict[str, float]:
         "dedup_minhash_lsh", "dedup_exact", "text_quality",
         "ann_cosine_topk", "a1_agg_pricing", "f2_frequent_pairs",
     ]
+    from pprl_scaling_framework_spark.ops.bucket_join import release_persists
+
     out = {}
     for name in names:
         s = time.time()
         n = QUERIES[name](spark, SF_DIR).count()
         out[name] = round(time.time() - s, 3)
+        # operator-internal caches (LSH bases, hot-tail sizes) are consumed
+        # by the count() above; release them so pass N+1 starts cold and the
+        # executor's storage pool doesn't accumulate across the bench loop
+        release_persists()
     return out
 
 
@@ -348,6 +354,33 @@ def run_scaling_probe() -> dict:
     input_path = f"/dev/shm/pprl-bench-input-{n_scale}"
     scaling: dict = {"entities": n_scale, "reps": reps, "pairs": pairs,
                      "fused": True, "stages": "collapse+encode+block+candidates+match"}
+
+    # PRE-FLIGHT HEALTH GATE (round-5 verdict item 1): every round-5 probe
+    # attempt burned a 9-15 min local[2] window before discovering the host
+    # was degraded (its own ceiling probe read 1.14-1.39x the healthy
+    # 78.6-80 s reference at 15e9 rows). Run the small-side ceiling probe
+    # FIRST — after an unmeasured 1/10-size JIT warm-up — and abort the whole
+    # attempt in ~3 min if it reads above SCALING_HEALTH_MAX_SEC (default
+    # 1.1x the healthy reference, scaled to the configured probe size). The
+    # aborted attempt is still recorded (run_scaling_only.py appends it), so
+    # the evidence log shows every try, not just survivors.
+    if os.environ.get("SCALING_HEALTH_GATE", "1") != "0":
+        n_small_gate = min(c for p in pairs for c in p)
+        healthy_ref = 80.0 * probe_rows / 15_000_000_000 * 2 / n_small_gate
+        health_max = float(os.environ.get(
+            "SCALING_HEALTH_MAX_SEC", str(round(1.1 * healthy_ref, 1))))
+        sp = build_spark(n_small_gate)
+        _ceiling_probe(sp, probe_rows // 10)  # JIT warm-up, unmeasured
+        pre = _ceiling_probe(sp, probe_rows)
+        sp.stop()
+        scaling["preflight_ceiling_sec"] = round(pre, 2)
+        scaling["preflight_max_sec"] = health_max
+        scaling["preflight_cpus"] = n_small_gate
+        if pre > health_max:
+            scaling["aborted"] = (
+                f"degraded_host_preflight ({pre:.1f}s > {health_max}s gate "
+                f"at local[{n_small_gate}]) — retry in a quiet window")
+            return scaling
 
     # generate once at full parallelism; all configs read the same bytes
     sp = build_spark(CPUS)

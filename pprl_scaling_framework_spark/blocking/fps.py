@@ -78,6 +78,7 @@ def candidate_pairs(
     uids_b: DataFrame | None = None,
     key_bits: int | None = None,
     n_groups: int | None = None,
+    uids_hashed: bool = False,
 ) -> DataFrame:
     """-> (id_a, id_b, collisions) with collisions >= C.
 
@@ -89,8 +90,13 @@ def candidate_pairs(
     (8 bytes) instead of the uid string; uids are re-attached afterwards via
     broadcast dictionaries. (64-bit surrogates are collision-safe to ~10^8
     records per side; beyond that swap in a 128-bit surrogate.) A caller that
-    built keys with ``hlsh.blocking_keys(..., hash_uid=True)`` (bigint uid)
-    skips the per-exploded-row re-hash entirely.
+    built keys with ``hlsh.blocking_keys(..., hash_uid=True)`` must pass
+    ``uids_hashed=True``: the keys' uid column is then the xxhash64 surrogate
+    already and the per-exploded-row re-hash is skipped. Without the flag the
+    uid column is ALWAYS re-hashed — including natural bigint uids — so the
+    re-attach join keys line up with ``rid = xxhash64(uid)`` regardless of
+    the caller's uid dtype (dtype sniffing here silently returned an empty
+    candidate set for natural long uids).
 
     ``key_bits`` + ``n_groups`` (both the HLSH plan's K and L): when the
     packed value fits an int64, ``(group_id, key)`` is collapsed into ONE
@@ -115,8 +121,14 @@ def candidate_pairs(
         dict_b = src_b.withColumn("rid", F.xxhash64("uid"))
 
     def _rid_keys(keys: DataFrame) -> DataFrame:
-        # bigint uid = already the xxhash64 surrogate (hash_uid=True path)
-        if dict(keys.dtypes).get("uid") == "bigint":
+        # uids_hashed: caller asserts uid is already the xxhash64 surrogate
+        # (hlsh.blocking_keys(..., hash_uid=True)); anything else is hashed
+        # here — even bigint natural uids — so it matches dict_*'s rid
+        if uids_hashed:
+            if dict(keys.dtypes).get("uid") != "bigint":
+                raise ValueError(
+                    "uids_hashed=True requires a bigint xxhash64-surrogate "
+                    "uid column (build keys with hash_uid=True)")
             return keys.select("uid", "group_id", "key")
         return keys.select(F.xxhash64("uid").alias("uid"), "group_id", "key")
 

@@ -31,6 +31,40 @@ from pyspark.sql import functions as F
 #: ~40 B/row -> <=10 MB broadcast, microseconds of driver build time.
 HOT_BROADCAST_MAX_ROWS = 250_000
 
+#: every DataFrame persisted by the skew/ANN operators in this session, in
+#: persist order. These persists are load-bearing (the hot-tail sizes table
+#: and multi-consumer LSH bases are each read 2-5 times within one query
+#: plan) but outlive the query: a long session that calls these operators in
+#: a loop (bench passes, per-operator driver checks, lsh_topk batches)
+#: accumulates cached blocks until executor storage memory evicts them.
+#: Call :func:`release_persists` after the consuming action completes.
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for later bulk release (see _TRACKED_PERSISTS)."""
+    df = df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persists(blocking: bool = False) -> int:
+    """Unpersist every operator-internal cached table; returns the count.
+
+    Safe to call at any time: unpersisting only drops cached blocks — plans
+    still referencing the DataFrame recompute from lineage. Intended after
+    the consuming action (pipeline stage barrier, bench pass, oracle check).
+    """
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
 
 def salted_sides(
     keys_a: DataFrame,
@@ -85,7 +119,7 @@ def salted_sides(
         # broadcast vs two full-key-set shuffle joins against the sizes agg
         materialize_hot = os.environ.get("PPRL_MATERIALIZE_HOT", "1") != "0"
     if materialize_hot:
-        flagged = flagged.persist()
+        flagged = track_persist(flagged)
         if flagged.count() <= HOT_BROADCAST_MAX_ROWS:
             flagged = F.broadcast(flagged)
     a = (

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .bucket_join import salted_pair_candidates
+from .bucket_join import salted_pair_candidates, track_persist
 
 MERSENNE31 = (1 << 31) - 1  # universal-hash modulus
 
@@ -156,7 +156,8 @@ def minhash_lsh_pairs(
     base = df.repartition(spread).select(
         F.col(id_col).alias("id"),
         gram_hashes(char_shingles(text_col, q)).alias("hg"),
-    ).withColumn("sig", signature_from_hashes(F.col("hg"), num_hashes, seed)).persist()
+    ).withColumn("sig", signature_from_hashes(F.col("hg"), num_hashes, seed))
+    base = track_persist(base)
 
     # NB (scale): the bucket join carries only (bucket, id, gram COUNT) — the
     # gram arrays are re-attached AFTER the pair set is deduplicated AND
@@ -230,7 +231,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("block"),
         char_shingles(text_col, q).alias("grams"),
-    ).persist()
+    )
+    base = track_persist(base)
     cands = salted_pair_candidates(
         base.select("block", "id", F.size("grams").alias("ng")), ["block"],
         payload_cols=("ng",),
@@ -289,7 +291,7 @@ def simhash_near_pairs(
     """Hamming near-dup candidates: pairs agreeing on >= 1 of 4 simhash bands."""
     # persisted: the banded explode feeds bucket sizing + both salted sides,
     # which would otherwise recompute the per-bit majority aggregation thrice
-    sh = simhash(df, id_col, text_col, q, bits).persist()
+    sh = track_persist(simhash(df, id_col, text_col, q, bits))
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     banded = sh.select(

@@ -118,6 +118,7 @@ def lsh_topk(
     query_broadcast_max: int = QUERY_BROADCAST_MAX_ROWS,
     hot_threshold: int = 2000,
     shards: int = 16,
+    query_count: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket.
 
@@ -131,6 +132,14 @@ def lsh_topk(
       co-bucket pair meets exactly once), ids-only through the join with
       vectors re-attached for the exact rescore. This is the 100 TB path: the
       query batch partitions like any other table and is never collected.
+
+    ``query_count``: the query-set row count if the caller knows it (keeps
+    the operator fully lazy). ``query_broadcast_max <= 0`` forces the shuffle
+    path with NO count at all. When the size is genuinely unknown, the
+    signature-augmented query side is persisted (tracked — release with
+    :func:`ops.bucket_join.release_persists`) and counted ONCE; both physical
+    paths then reuse the cached signatures, so the query lineage executes
+    exactly one time per call.
     """
     sig = lambda col: hyperplane_signature(col, dim, n_planes, seed)
     c = corpus.select(
@@ -140,7 +149,13 @@ def lsh_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("bucket", sig(F.col("q_vec")))
 
-    if queries.count() <= query_broadcast_max:
+    if query_count is None and query_broadcast_max > 0:
+        from .bucket_join import track_persist
+
+        q = track_persist(q)
+        query_count = q.count()
+
+    if query_count is not None and query_count <= query_broadcast_max:
         scored = (
             c.join(F.broadcast(q), "bucket")
             .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -22,6 +22,7 @@ from ..core.planner import FPSPlan, plan_blocking
 from ..encoding.encode import encode_dataframe
 from ..encoding.schemes import EncodingConfig
 from ..clustering.connected_components import connected_components
+from ..ops.bucket_join import track_persist
 from ..matching.score import matched_pairs as _matched_pairs
 from .stages import StageRunner
 
@@ -155,7 +156,7 @@ def run_dedup_pipeline(
         if runner is not None:
             return runner.run(name, build)
         df = build()
-        return df.persist() if reused else df
+        return track_persist(df) if reused else df
 
     uid_to_rep = None
     if collapse_exact:
@@ -175,7 +176,7 @@ def run_dedup_pipeline(
         keys, None, C=plan.C, hot_threshold=config.hot_threshold,
         shards=config.salt_shards, self_join=True,
         max_bucket=config.max_bucket, uids_a=encoded,
-        key_bits=config.hlsh_K, n_groups=plan.L))
+        key_bits=config.hlsh_K, n_groups=plan.L, uids_hashed=True))
     matches = stage("match", lambda: _matched_pairs(
         cands, encoded, config.method, config.threshold, n_bits))
     clusters = None
@@ -213,7 +214,7 @@ def run_linkage_pipeline(
         if runner is not None:
             return runner.run(name, build)
         df = build()
-        return df.persist() if reused else df
+        return track_persist(df) if reused else df
 
     enc_a = stage("encode_a", lambda: encode_dataframe(
         records_a, config_a.encoding, included=[uid_col]), reused=True)
@@ -227,7 +228,7 @@ def run_linkage_pipeline(
         keys_a, keys_b, C=plan.C, hot_threshold=config_a.hot_threshold,
         shards=config_a.salt_shards, max_bucket=config_a.max_bucket,
         uids_a=enc_a, uids_b=enc_b,
-        key_bits=config_a.hlsh_K, n_groups=plan.L))
+        key_bits=config_a.hlsh_K, n_groups=plan.L, uids_hashed=True))
     matches = stage("match", lambda: _matched_pairs(
         cands, enc_a, config_a.method, config_a.threshold, n_bits, encoded_b=enc_b))
     return LinkageResult(plan, enc_a, keys_a, cands, matches, None)

@@ -158,6 +158,42 @@ def test_lsh_topk_nonbroadcast_path_identical(emb):
         emb, emb, dim=64, k=2, n_planes=4))
     assert self_ann == self_ann_b and len(self_ann) > 0
 
+    # caller-supplied query_count skips the internal count AND persist: the
+    # operator stays fully lazy and still picks the right path either side
+    # of the gate
+    via_hint_bc = rows(similarity_search.lsh_topk(
+        emb, qs, dim=64, k=3, n_planes=4, query_count=10))
+    via_hint_sh = rows(similarity_search.lsh_topk(
+        emb, qs, dim=64, k=3, n_planes=4, query_count=10,
+        query_broadcast_max=5))
+    assert via_hint_bc == via_broadcast
+    assert via_hint_sh == via_broadcast
+
+
+def test_release_persists_drops_tracked_caches(emb):
+    """Operator-internal persists are tracked and released in bulk (ADVICE
+    r5): the minhash/ANN/hot-tail caches must not accumulate across repeated
+    operator calls in one session."""
+    from pprl_scaling_framework_spark.ops import bucket_join
+
+    bucket_join.release_persists()  # start clean
+    # lsh_topk with unknown query size persists the signature-augmented side
+    similarity_search.lsh_topk(emb, emb.limit(5), dim=64, k=2, n_planes=4).count()
+    assert len(bucket_join._TRACKED_PERSISTS) >= 1
+    released = bucket_join.release_persists()
+    assert released >= 1
+    assert bucket_join._TRACKED_PERSISTS == []
+    # releasing is idempotent and safe with nothing tracked
+    assert bucket_join.release_persists() == 0
+    # a caller-supplied count keeps the operator persist-free
+    similarity_search.lsh_topk(
+        emb, emb.limit(5), dim=64, k=2, n_planes=4, query_count=5).count()
+    # (salted_sides may still track the hot-tail table on the shuffle path;
+    # the broadcast path with a known count tracks nothing)
+    for df in bucket_join._TRACKED_PERSISTS:
+        assert "q_vec" not in df.columns
+    bucket_join.release_persists()
+
 
 def test_text_metrics(spark):
     df = spark.createDataFrame(

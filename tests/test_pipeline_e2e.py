@@ -158,3 +158,34 @@ def test_two_party_keeps_equal_uid_pairs(spark):
     # the equal-uid ones
     assert ("e1", "e1") in got and ("e2", "e2") in got
     assert ("e1", "e2") in got and ("e2", "e1") in got
+
+
+def test_natural_bigint_uids_candidate_pairs(spark):
+    """Natural LONG uids must survive the surrogate round-trip (ADVICE r5).
+
+    Before the explicit ``uids_hashed`` flag, dtype sniffing treated ANY
+    bigint uid as an xxhash64 surrogate — a caller with natural numeric ids
+    got raw ids joined against xxhash64(id) in the re-attach and a silently
+    EMPTY candidate set. The flag defaults to False: bigint uids are hashed
+    like every other dtype and the original values come back out.
+    """
+    from pprl_scaling_framework_spark.blocking import fps
+
+    rows = [(101, 0, "k1"), (202, 0, "k1"), (101, 1, "k9"), (202, 1, "k9")]
+    keys = spark.createDataFrame(rows, "uid long, group_id int, key string")
+    pairs = fps.candidate_pairs(keys, None, C=2, self_join=True)
+    # canonical order is by xxhash64 surrogate, not by natural value —
+    # compare the unordered pair
+    got = {(frozenset((r["id_a"], r["id_b"])), r["collisions"])
+           for r in pairs.collect()}
+    assert got == {(frozenset((101, 202)), 2)}, got
+
+
+def test_uids_hashed_requires_bigint_surrogates(spark):
+    """uids_hashed=True asserts the uid column is the xxhash64 surrogate."""
+    from pprl_scaling_framework_spark.blocking import fps
+
+    rows = [("e1", 0, "k1"), ("e2", 0, "k1")]
+    keys = spark.createDataFrame(rows, "uid string, group_id int, key string")
+    with pytest.raises(ValueError, match="uids_hashed"):
+        fps.candidate_pairs(keys, None, C=1, self_join=True, uids_hashed=True)

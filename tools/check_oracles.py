@@ -71,6 +71,10 @@ def main():
             df = fn(spark, sf_dir)
             spark_cols = df.columns
             spark_rows = [tuple(r) for r in df.collect()]
+            # drop operator-internal caches between queries — 42 queries in
+            # one session would otherwise pin every LSH base simultaneously
+            from pprl_scaling_framework_spark.ops.bucket_join import release_persists
+            release_persists()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:160]}")
