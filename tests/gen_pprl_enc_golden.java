@@ -38,6 +38,9 @@ public class gen_pprl_enc_golden {
     static final double[] WEIGHTS = {0.4, 0.2, 0.4};
     static final long[] SELECTION_SEEDS = {5, 7, 11};
     static final long PERM_SEED = 13;
+    // FBF-static: the factory's fixed per-field size variant
+    // (BloomFilterEncodingUtil.java:141-190, "STATIC" N)
+    static final int STATIC_N = 128;
 
     static Mac SHA1, MD5;
     // cache key must include N: per-field filters have different sizes
@@ -94,21 +97,40 @@ public class gen_pprl_enc_golden {
         int[] comp = new int[nf];
         for (int j = 0; j < nf; j++) comp[j] = (int) (WEIGHTS[j] * rbfN);
 
+        // ---- D3 uniform: rbf_n = sum(fbfN); composition = ceil for field 0,
+        // floor for the rest (RowBloomFilterEncoding.java:112-121); counts
+        // may sum to LESS than rbf_n — leftover permutation slots stay 0
+        int rbfNU = 0;
+        for (int n : fbfSizes) rbfNU += n;
+        int[] compU = new int[nf];
+        double perU = rbfNU / (double) nf;
+        for (int j = 0; j < nf; j++)
+            compU[j] = j == 0 ? (int) Math.ceil(perU) : (int) Math.floor(perU);
+
         // selection streams + permutation (seeded Java PRNG — the
         // hash-parity-critical part this golden pins down)
         int[][] sel = new int[nf][];
+        int[][] selU = new int[nf][];
         for (int j = 0; j < nf; j++) {
             Random rnd = new Random(SELECTION_SEEDS[j]);
             sel[j] = new int[comp[j]];
             for (int t = 0; t < comp[j]; t++) sel[j][t] = rnd.nextInt(fbfSizes[j]);
+            Random rndU = new Random(SELECTION_SEEDS[j]);
+            selU[j] = new int[compU[j]];
+            for (int t = 0; t < compU[j]; t++) selU[j][t] = rndU.nextInt(fbfSizes[j]);
         }
         List<Integer> permList = new ArrayList<>(rbfN);
         for (int i = 0; i < rbfN; i++) permList.add(i);
         Collections.shuffle(permList, new Random(PERM_SEED));
+        List<Integer> permListU = new ArrayList<>(rbfNU);
+        for (int i = 0; i < rbfNU; i++) permListU.add(i);
+        Collections.shuffle(permListU, new Random(PERM_SEED));
 
         // ---- encode every record: FBF concat + RBF sample/permute -----------
         try (PrintWriter wf = csv(dir, "pprl_encode_fbf.csv", "uid,bf_digest");
-             PrintWriter wr = csv(dir, "pprl_encode_rbf.csv", "uid,bf_digest")) {
+             PrintWriter wr = csv(dir, "pprl_encode_rbf.csv", "uid,bf_digest");
+             PrintWriter ws = csv(dir, "pprl_encode_fbf_static.csv", "uid,bf_digest");
+             PrintWriter wu = csv(dir, "pprl_encode_rbf_uniform.csv", "uid,bf_digest")) {
             int fbfTotal = 0;
             for (int n : fbfSizes) fbfTotal += n;
             for (String uid : uids) {
@@ -130,6 +152,23 @@ public class gen_pprl_enc_golden {
                     for (int s : sel[j])
                         rbf[permList.get(t++)] = fieldBits[j][s];
                 wr.println(uid + "," + sha256Hex(upperHex(pack(rbf))));
+
+                // FBF-static: same kernels over fixed-size per-field filters
+                boolean[] fbfS = new boolean[STATIC_N * nf];
+                for (int j = 0; j < nf; j++) {
+                    boolean[] fb = encodeField(fields.get(uid)[j], STATIC_N);
+                    for (int p = 0; p < STATIC_N; p++) fbfS[j * STATIC_N + p] = fb[p];
+                }
+                ws.println(uid + "," + sha256Hex(upperHex(pack(fbfS))));
+
+                // RBF-uniform: uniform draw counts over the SAME dynamic
+                // per-field filters, rbf_n = sum(fbfN)
+                boolean[] rbfU = new boolean[rbfNU];
+                int tu = 0;
+                for (int j = 0; j < nf; j++)
+                    for (int s : selU[j])
+                        rbfU[permListU.get(tu++)] = fieldBits[j][s];
+                wu.println(uid + "," + sha256Hex(upperHex(pack(rbfU))));
             }
         }
 
@@ -143,9 +182,13 @@ public class gen_pprl_enc_golden {
             w.println("rbf_composition=" + join(comp));
             w.println("K=" + K);
             w.println("Q=" + Q);
+            w.println("fbf_static_n=" + STATIC_N);
+            w.println("rbf_uniform_n=" + rbfNU);
+            w.println("rbf_uniform_composition=" + join(compU));
         }
         System.out.println("encoding goldens written to " + dir
-                + " fbf_sizes=" + join(fbfSizes) + " rbf_n=" + rbfN);
+                + " fbf_sizes=" + join(fbfSizes) + " rbf_n=" + rbfN
+                + " rbf_uniform_n=" + rbfNU);
     }
 
     // --- kernels -------------------------------------------------------------

@@ -140,3 +140,13 @@ def test_enc_golden_plan_parity(spark):
     assert cfg.rbf_n == int(props["rbf_n"])
     assert ",".join(map(str, cfg.rbf_composition)) == props["rbf_composition"]
     assert (int(props["K"]), int(props["Q"])) == (eq._ENC_K, eq._ENC_Q)
+
+    # FBF-static fixed size and RBF-uniform plan must also agree
+    assert eq._FBF_STATIC_N == int(props["fbf_static_n"])
+    cfg_u = schemes.rbf_uniform(
+        list(eq._PPRL_ENC_FIELDS), sizes,
+        K=eq._ENC_K, Q=eq._ENC_Q, permutation_seed=eq._RBF_PERM_SEED,
+        selection_seeds=list(eq._RBF_SELECTION_SEEDS),
+    )
+    assert cfg_u.rbf_n == int(props["rbf_uniform_n"])
+    assert ",".join(map(str, cfg_u.rbf_composition)) == props["rbf_uniform_composition"]
