@@ -89,24 +89,90 @@ class StageRunner:
     def _version_path(self, version: int) -> str:
         return os.path.join(self.manifest_dir, f"v{version:06d}.json")
 
+    @property
+    def _latest_hint_path(self) -> str:
+        return os.path.join(self.manifest_dir, "LATEST")
+
+    def _read_latest_hint(self) -> int:
+        """Best-effort latest-version HINT (0 if absent/corrupt).
+
+        The hint is written AFTER the exclusive hard-link that commits a
+        version, so it can lag the true latest (crash between link and hint,
+        or a concurrent committer) but never lead it; ``_load_latest`` probes
+        FORWARD from the hint to find the true head without listing the
+        whole directory — O(commits since the hint) instead of O(all
+        versions) on every load (Iceberg's ``version-hint.text``).
+        """
+        try:
+            with open(self._latest_hint_path) as f:
+                return int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            return 0
+
+    def _write_latest_hint(self, version: int) -> None:
+        tmp = f"{self._latest_hint_path}.tmp-{os.getpid()}-{time.monotonic_ns()}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._latest_hint_path)
+
     def _load_latest(self) -> tuple[int, dict]:
         """(version, manifest) of the newest committed manifest.
 
         Version 0 = no versioned commit yet; falls back to a legacy
         single-file ``manifest.json`` (pre-versioning run dirs) or an empty
-        manifest.
+        manifest. A concurrent :meth:`compact` may delete an old version
+        between our listing and our open — retry on FileNotFoundError (the
+        newest version is never deleted, so the retry terminates).
         """
-        versions = sorted(
-            int(f[1:7]) for f in os.listdir(self.manifest_dir)
-            if f.startswith("v") and f.endswith(".json")
-        )
-        if versions:
-            with open(self._version_path(versions[-1])) as f:
-                return versions[-1], json.load(f)
+        for _ in range(self.MAX_COMMIT_RETRIES):
+            hint = self._read_latest_hint()
+            if hint and os.path.exists(self._version_path(hint)):
+                latest = hint
+                while os.path.exists(self._version_path(latest + 1)):
+                    latest += 1
+            else:  # no/stale-beyond-compaction hint: full directory scan
+                versions = sorted(
+                    int(f[1:7]) for f in os.listdir(self.manifest_dir)
+                    if f.startswith("v") and f.endswith(".json")
+                )
+                if not versions:
+                    break
+                latest = versions[-1]
+            try:
+                with open(self._version_path(latest)) as f:
+                    return latest, json.load(f)
+            except FileNotFoundError:
+                continue  # lost a race with compact(); re-resolve
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as f:
                 return 0, json.load(f)
         return 0, {"stages": {}}
+
+    def compact(self, keep: int = 8) -> int:
+        """Prune old manifest versions, keeping the newest ``keep`` (>= 1).
+
+        Old SNAPSHOT data is untouched (time travel via :meth:`read_at`
+        still works — the current manifest carries the full snapshot log);
+        only superseded manifest *versions* are removed, bounding
+        ``_manifest/`` growth in a long-lived deployment. Safe against
+        concurrent readers: the newest version always survives, and readers
+        retry on a vanished older version. Returns #files removed.
+        """
+        keep = max(1, keep)
+        latest, _ = self._load_latest()
+        if latest > self._read_latest_hint():
+            self._write_latest_hint(latest)  # a pruned hint target would force full scans
+        removed = 0
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                v = int(f[1:7])
+                if v <= latest - keep:
+                    try:
+                        os.remove(os.path.join(self.manifest_dir, f))
+                        removed += 1
+                    except FileNotFoundError:
+                        pass  # concurrent compactor got it first
+        return removed
 
     def refresh(self) -> None:
         """Re-read the latest committed manifest (see concurrent commits)."""
@@ -137,6 +203,7 @@ class StageRunner:
                 os.remove(tmp)
                 continue  # concurrent commit won this version; rebase + retry
             os.remove(tmp)
+            self._write_latest_hint(version + 1)
             self.manifest = manifest
             # refresh the legacy mirror (last-committer-wins is fine here:
             # readers of record go through _manifest/)

@@ -264,3 +264,39 @@ def test_stage_runner_legacy_manifest_migration(spark, tmp_path):
     r2.run("s", lambda: spark.range(4), fingerprint="v2")
     assert [s["id"] for s in r2.snapshots("s")] == [1, 2]
     assert os.path.exists(os.path.join(run_dir, "_manifest", "v000001.json"))
+
+def test_stage_runner_manifest_compaction_and_latest_hint(spark, tmp_path):
+    """compact() bounds _manifest/ growth without losing the snapshot log or
+    time travel; the LATEST hint makes loads O(commits since hint) and a
+    stale/pruned hint falls back to a full scan instead of misreading."""
+    run_dir = str(tmp_path / "run_compact")
+    r = StageRunner(spark, run_dir, collect_lineage=False)
+    for i in range(1, 13):
+        r.run("s", lambda i=i: spark.range(i), fingerprint=f"v{i}")
+    mdir = os.path.join(run_dir, "_manifest")
+    n_versions = len([f for f in os.listdir(mdir) if f.endswith(".json")])
+    assert n_versions >= 12
+
+    removed = r.compact(keep=3)
+    left = sorted(f for f in os.listdir(mdir) if f.endswith(".json"))
+    assert removed == n_versions - 3 and len(left) == 3
+
+    # a fresh runner resolves the same head and full snapshot log
+    r2 = StageRunner(spark, run_dir)
+    assert r2.current_snapshot_id("s") == 12
+    assert [s["id"] for s in r2.snapshots("s")] == list(range(1, 13))
+    # time travel still works after compaction (data dirs untouched)
+    assert r2.read_at("s", 1).count() == 1
+    assert r2.read_at("s", 12).count() == 12
+
+    # hint pointing at a compacted-away version -> full-scan fallback
+    with open(os.path.join(mdir, "LATEST"), "w") as f:
+        f.write("1")
+    r3 = StageRunner(spark, run_dir)
+    assert r3.current_snapshot_id("s") == 12
+    # and a commit repairs the hint to the new head
+    r3.run("s", lambda: spark.range(13), fingerprint="v13")
+    with open(os.path.join(mdir, "LATEST")) as f:
+        hint = int(f.read())
+    assert os.path.exists(os.path.join(mdir, f"v{hint:06d}.json"))
+    assert r3.current_snapshot_id("s") == 13
