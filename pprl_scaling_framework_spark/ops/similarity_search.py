@@ -227,3 +227,156 @@ def embedding_near_duplicates(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def synthetic_centroids(
+    spark, n_cells: int, dim: int, seed: int = 17
+) -> DataFrame:
+    """Deterministic pseudo-random IVF centroids -> (cell int, centroid).
+
+    Same hash-chain construction as the synthetic test embeddings: component
+    i of cell c = pmod(xxhash64(c, seed, i), 1000)/500 - 1, so an
+    engine-independent golden can regenerate them bit-exactly. A production
+    deployment would instead k-means a corpus sample and persist the
+    centroid table — everything downstream (:func:`ivf_topk`) only sees a
+    (cell, centroid) DataFrame and is agnostic to where it came from.
+    """
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed), i), F.lit(1000)).cast("double")
+            / 500.0 - 1.0
+        ),
+    )
+    return spark.range(0, n_cells).select(
+        F.col("id").cast("int").alias("cell"), vec.alias("centroid")
+    )
+
+
+def _cell_scores(vec: Column) -> Column:
+    """array<struct<sim,neg_cell>> of cosine vs every centroid in `cents`.
+
+    Relies on a `cents` column (array of (cell, centroid) structs — the
+    one-row collapsed centroid table crossJoin'd in by :func:`ivf_topk`).
+    neg_cell makes both argmax (array_max) and descending sort break sim
+    ties toward the LOWEST cell id.
+    """
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            cosine(vec, c["centroid"]).alias("sim"),
+            (-c["cell"]).alias("neg_cell"),
+        ),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+    query_broadcast_max: int = QUERY_BROADCAST_MAX_ROWS,
+    hot_threshold: int = 2000,
+    shards: int = 16,
+    query_count: int | None = None,
+) -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize the corpus into centroid cells, probe
+    the query's ``n_probe`` nearest cells, rescore exactly.
+
+    The inverted-file counterpart to :func:`lsh_topk` (FAISS IndexIVFFlat
+    semantics): recall is tuned by ``n_probe`` instead of plane count, and
+    cell population follows the data distribution instead of random
+    hyperplane signs.
+
+    Scale design:
+
+    - the centroid table is collapsed to ONE array-of-structs row and
+      broadcast; cell assignment is a per-row native ``array_max`` argmax —
+      zero shuffle, whole-stage codegen, O(n_cells * dim) per row. (For the
+      >10^5-centroid regimes real IVF systems shard the coarse quantizer
+      hierarchically; this operator targets the <=10^4-cell sweet spot.)
+    - the cell is the join key: a measured-small query set broadcasts into
+      the cell join; a corpus-sized one goes through the SALTED shuffle
+      machinery ids-only with vectors re-attached — the same two physical
+      paths, same laziness contract, and same "never an unbounded
+      driver-built broadcast" invariant as :func:`lsh_topk`.
+    """
+    cent_row = centroids.select(
+        F.struct(F.col("cell").cast("int").alias("cell"), F.col("centroid")).alias("c")
+    ).agg(F.collect_list("c").alias("cents"))
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(F.broadcast(cent_row))
+        .withColumn("cell", (-F.array_max(_cell_scores(F.col("c_vec")))["neg_cell"]).cast("int"))
+        .drop("cents")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(cent_row))
+        .withColumn(
+            "cells",
+            F.slice(F.reverse(F.array_sort(_cell_scores(F.col("q_vec")))), 1, n_probe),
+        )
+        .select(
+            "query_id", "q_vec",
+            F.explode(F.transform(
+                F.col("cells"), lambda s: (-s["neg_cell"]).cast("int")
+            )).alias("cell"),
+        )
+    )
+
+    # gate on EXPLODED rows (what would actually be broadcast): a caller's
+    # query_count is in queries, the internal count sees post-probe rows
+    if query_count is not None:
+        q_rows = query_count * n_probe
+    elif query_broadcast_max > 0:
+        from .bucket_join import track_persist
+
+        q = track_persist(q)
+        q_rows = q.count()
+    else:
+        q_rows = None
+
+    if q_rows is not None and q_rows <= query_broadcast_max:
+        scored = (
+            c.join(F.broadcast(q), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        )
+    else:
+        from .bucket_join import salted_sides
+
+        ca = c.select("cell", F.col("neighbor_id").alias("id"))
+        qa = q.select("cell", F.col("query_id").alias("id"))
+        side_c, side_q = salted_sides(ca, qa, ["cell"], "id", hot_threshold, shards)
+        pair_ids = (
+            side_c.alias("c").join(side_q.alias("q"), ["cell", "salt"])
+            .select(
+                F.col("c.id").alias("neighbor_id"),
+                F.col("q.id").alias("query_id"),
+            )
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+        # each corpus vector lives in exactly ONE cell and a query's probed
+        # cells are distinct, so every (query, neighbor) pair meets at most
+        # once — no dedup needed; vectors re-attach from the PRE-explode
+        # query base (the exploded q carries n_probe copies of q_vec)
+        q_vecs = (
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        )
+        scored = (
+            pair_ids
+            .join(c.select("neighbor_id", "c_vec"), "neighbor_id")
+            .join(q_vecs, "query_id")
+            .withColumn("cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

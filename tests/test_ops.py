@@ -507,3 +507,58 @@ def test_media_decode_pil_branch(spark):
     # error contract: garbage raises
     with pytest.raises(Exception):
         multimodal.decode_image(df).collect()
+
+
+def test_ivf_topk_recall_and_path_parity(emb):
+    """IVF-Flat ANN: (a) probing more cells monotonically approaches the
+    exact answer (n_probe == n_cells == exhaustive -> identical to brute
+    force), (b) broadcast and salted-shuffle physical paths are
+    result-identical, (c) a caller-supplied query_count keeps it lazy."""
+    spark = emb.sparkSession
+    cents = similarity_search.synthetic_centroids(spark, 8, 64, seed=17)
+    qs = emb.filter(F.col("vec_id") < 10)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+            for r in df.collect()
+        )
+
+    # exhaustive probe == brute force (every cell probed, nothing missed)
+    exact = rows(similarity_search.brute_force_topk(emb, qs, k=3))
+    full_probe = rows(similarity_search.ivf_topk(emb, qs, cents, k=3, n_probe=8))
+    assert full_probe == exact
+
+    # partial probe: recall grows with probe depth (random high-dim vectors
+    # put little structure in 8 random cells, so the bar is the probed
+    # fraction, not near-1 — half the cells -> at least a third of top-1s)
+    approx4 = similarity_search.ivf_topk(emb, qs, cents, k=3, n_probe=4).collect()
+    exact_top1 = {q: n for q, rk, n, s in exact if rk == 1}
+    approx_sets = {}
+    for r in approx4:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, n in exact_top1.items() if n in approx_sets.get(q, set()))
+    assert hits >= 3
+    approx = similarity_search.ivf_topk(emb, qs, cents, k=3, n_probe=2).collect()
+
+    # both physical paths identical (small batch + corpus-sized self-ANN)
+    bc = rows(similarity_search.ivf_topk(emb, qs, cents, k=3, n_probe=2))
+    sh = rows(similarity_search.ivf_topk(
+        emb, qs, cents, k=3, n_probe=2, query_broadcast_max=0,
+        hot_threshold=8, shards=4))
+    assert bc == sh == sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"]) for r in approx)
+    self_bc = rows(similarity_search.ivf_topk(emb, emb, cents, k=2, n_probe=2))
+    self_sh = rows(similarity_search.ivf_topk(
+        emb, emb, cents, k=2, n_probe=2, query_broadcast_max=0))
+    assert self_bc == self_sh and len(self_sh) > 0
+
+    # caller-supplied count (in QUERIES, pre-explode) picks the same path
+    from pprl_scaling_framework_spark.ops import bucket_join
+    bucket_join.release_persists()
+    hint = rows(similarity_search.ivf_topk(
+        emb, qs, cents, k=3, n_probe=2, query_count=10))
+    assert hint == bc
+    for df in bucket_join._TRACKED_PERSISTS:
+        assert "q_vec" not in df.columns  # no internal query persist with a hint
+    bucket_join.release_persists()

@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pprl_scaling_framework_spark.core.xxhash64 import spark_xxhash64  # noqa: E402
 from pprl_scaling_framework_spark.entry_queries import (  # noqa: E402
     _ANN_DIM,
+    _ANN_IVF_CELLS,
+    _ANN_IVF_PROBE,
+    _ANN_IVF_SEED,
     _ANN_K,
     _ANN_LSH_SEED,
     _ANN_N,
@@ -33,12 +36,21 @@ from pprl_scaling_framework_spark.entry_queries import (  # noqa: E402
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 OUT = os.path.join(GOLDEN_DIR, "ann_lsh_topk.csv")
 OUT_NEAR_DUP = os.path.join(GOLDEN_DIR, "emb_near_dup_lsh.csv")
+OUT_IVF = os.path.join(GOLDEN_DIR, "ann_ivf_topk.csv")
 NEAR_DUP_THRESHOLD = 0.2  # matches q_emb_near_dup_lsh
 
 
 def synth_vector(vec_id: int) -> list[float]:
     return [
         (spark_xxhash64(("long", vec_id), ("int", _ANN_SEED), ("int", i)) % 1000) / 500.0 - 1.0
+        for i in range(_ANN_DIM)
+    ]
+
+
+def centroid_vector(cell: int) -> list[float]:
+    # component formula of similarity_search.synthetic_centroids
+    return [
+        (spark_xxhash64(("long", cell), ("int", _ANN_IVF_SEED), ("int", i)) % 1000) / 500.0 - 1.0
         for i in range(_ANN_DIM)
     ]
 
@@ -110,6 +122,33 @@ def main() -> None:
         for r in nd:
             w.writerow([r[0], r[1], repr(r[2])])
     print(f"golden written: {len(nd)} rows -> {OUT_NEAR_DUP}")
+
+    # IVF-Flat: argmax-cell assignment (sim desc, cell asc on ties), n_probe
+    # nearest cells per query, exact rescore within probed cells
+    cents = {c: centroid_vector(c) for c in range(_ANN_IVF_CELLS)}
+
+    def cell_scores(vec: list[float]) -> list[tuple[float, int]]:
+        # (sim, -cell): same tuple Spark's array_max/array_sort compares
+        return [(cosine(vec, cents[c]), -c) for c in range(_ANN_IVF_CELLS)]
+
+    assign = {i: -max(cell_scores(v))[1] for i, v in vecs.items()}
+    ivf_rows = []
+    for qid in range(_ANN_QUERIES):
+        probed = [-s[1] for s in sorted(cell_scores(vecs[qid]), reverse=True)[:_ANN_IVF_PROBE]]
+        cands = [
+            (round6(cosine(vecs[qid], vecs[c])), c)
+            for c in range(_ANN_N)
+            if c != qid and assign[c] in probed
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (sim, c) in enumerate(cands[:_ANN_K], start=1):
+            ivf_rows.append((qid, c, rank, sim))
+    with open(OUT_IVF, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["query_id", "neighbor_id", "rank", "cosine_sim"])
+        for r in ivf_rows:
+            w.writerow([r[0], r[1], r[2], repr(r[3])])
+    print(f"golden written: {len(ivf_rows)} rows -> {OUT_IVF}")
 
 
 if __name__ == "__main__":
