@@ -202,7 +202,7 @@ def run_ops_queries(spark) -> dict[str, float]:
 
     names = [
         "dedup_minhash_lsh", "dedup_exact", "text_quality",
-        "ann_cosine_topk", "a1_agg_pricing", "f2_frequent_pairs",
+        "ann_cosine_topk", "ann_ivf_topk", "a1_agg_pricing", "f2_frequent_pairs",
     ]
     from pprl_scaling_framework_spark.ops.bucket_join import release_persists
 
@@ -462,18 +462,43 @@ def run_streaming_probe() -> dict:
     """
     import shutil
 
+    from pyspark.sql import functions as F
+
     from pprl_scaling_framework_spark.blocking import hlsh
     from pprl_scaling_framework_spark.encoding.encode import encode_dataframe
     from pprl_scaling_framework_spark.sources import repos as repos_src
     from pprl_scaling_framework_spark.streaming import stream_linkage as sl
 
     n = int(os.environ.get("STREAM_ENTITIES", str(N_ENTITIES)))
-    spark = build_spark(CPUS)
+    # State-store provider: the pair-collision counter keys on candidate
+    # pairs, so state grows ~O(colliding pairs) — at 800k entities that is
+    # >10^7 keys and the default HDFSBackedStateStore (whole store on heap,
+    # maintenance copies per batch) plus tmpfs shuffle OOM-killed the JVM
+    # (measured: 52 GB of blockmgr in /dev/shm before the kernel killed it).
+    # RocksDB keeps state off-heap/on-disk with bounded block cache — the
+    # production choice for large stateful streams. HDFSBacked remains
+    # opt-in for small corpora (STREAM_STATE_STORE=hdfs).
+    from pprl_scaling_framework_spark.sources.session import build_session
+
+    extra = {}
+    if os.environ.get("STREAM_STATE_STORE", "rocksdb") == "rocksdb":
+        extra["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    spark = build_session(
+        f"pprl-stream-{CPUS}", master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS * 2, 16), prefer_shuffled_hash=True,
+        extra_conf=extra,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     cfg = bench_config()
     plan = cfg.plan()
     n_bits = cfg.encoding.total_bits
+    # src stays on tmpfs (bounded: the input parquet); the checkpoint — state
+    # snapshots + changelogs that scale with pair count — goes to disk
     src_path = "/dev/shm/pprl-stream-src"
-    ckpt = "/dev/shm/pprl-stream-ckpt"
+    ckpt = "/tmp/pprl-stream-ckpt"
     shutil.rmtree(src_path, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     records = repos_src.with_uid_and_sha(
@@ -484,15 +509,31 @@ def run_streaming_probe() -> dict:
     n_records = static.count()
     encoded = encode_dataframe(static, cfg.encoding, included=["uid"]).persist()
     pos = hlsh.position_matrix(plan.L, cfg.hlsh_K, n_bits, cfg.hlsh_seed)
-    index = hlsh.blocking_keys(encoded, "uid", "bf", pos, n_bits).persist()
+    # cap mega-buckets with the SAME max_bucket as the batch chain (the
+    # uncapped stream-static join blows up on the hot keys at >=800k —
+    # see streaming.stream_linkage.cap_static_index); persisted post-cap so
+    # the per-micro-batch re-read of the static plan is a cache hit
+    # int64 rid surrogates on BOTH sides (batch r5 lesson, ported to the
+    # stream: 60B uid strings through the join + collision agg spill; 8B
+    # rids keep the per-batch hash agg in memory) and the batch chain's
+    # max_bucket cap (the uncapped join explodes on hot keys — see
+    # streaming.stream_linkage.cap_static_index); persisted post-cap so the
+    # per-micro-batch re-read of the static plan is a cache hit
+    index = sl.cap_static_index(
+        hlsh.blocking_keys(encoded, "uid", "bf", pos, n_bits, hash_uid=True),
+        cfg.max_bucket,
+    ).persist()
     index.count()
 
     stream = (
         spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", "4").parquet(src_path)
+        .option("maxFilesPerTrigger",
+                os.environ.get("STREAM_FILES_PER_TRIGGER", "4"))
+        .parquet(src_path)
     )
     cands = sl.stream_candidates_against_index(
-        sl.blocking_keys_stream(sl.encode_stream(stream, cfg.encoding), pos, n_bits),
+        sl.blocking_keys_stream(
+            sl.encode_stream(stream, cfg.encoding), pos, n_bits, hash_uid=True),
         index, plan.C,
     )
     t0 = time.time()
@@ -503,13 +544,42 @@ def run_streaming_probe() -> dict:
     )
     q.awaitTermination()
     wall = time.time() - t0
+    # state-store growth + per-batch latency from the query's own progress
+    # events: bounded state (~#distinct candidate pairs) and batch times that
+    # do NOT trend upward are the "streaming survives scale" evidence
+    batches = []
+    state_rows_final = state_mem_final = 0
+    for p in q.recentProgress:
+        if p is None:
+            continue
+        dur = (p.get("durationMs") or {}).get("triggerExecution")
+        rows_total = sum(
+            so.get("numRowsTotal", 0) for so in p.get("stateOperators") or [])
+        mem = sum(
+            so.get("memoryUsedBytes", 0) for so in p.get("stateOperators") or [])
+        if p.get("numInputRows", 0) or rows_total:
+            batches.append({
+                "input_rows": p.get("numInputRows", 0),
+                "batch_ms": dur,
+                "state_rows": rows_total,
+            })
+            state_rows_final = max(state_rows_final, rows_total)
+            state_mem_final = max(state_mem_final, mem)
     spark.stop()
     shutil.rmtree(src_path, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+    batch_ms = [b["batch_ms"] for b in batches if b["batch_ms"]]
     return {
         "entities": n, "records": n_records,
         "wall_sec": round(wall, 2),
         "stream_records_per_sec": round(n_records / wall, 1),
+        "n_batches": len(batches),
+        "state_rows_max": state_rows_final,
+        "state_memory_mb_max": round(state_mem_final / 1e6, 1),
+        "batch_ms_first_half_mean": round(
+            sum(batch_ms[: len(batch_ms) // 2]) / max(len(batch_ms) // 2, 1), 1),
+        "batch_ms_second_half_mean": round(
+            sum(batch_ms[len(batch_ms) // 2:]) / max(len(batch_ms) - len(batch_ms) // 2, 1), 1),
     }
 
 

@@ -31,17 +31,57 @@ def encode_stream(
 
 
 def blocking_keys_stream(
-    encoded_stream: DataFrame, positions, n_bits: int
+    encoded_stream: DataFrame, positions, n_bits: int, hash_uid: bool = False
 ) -> DataFrame:
-    """Streaming HLSH keys: posexplode of the key-array UDF."""
+    """Streaming HLSH keys: posexplode of the key-array UDF.
+
+    ``hash_uid``: same 8-byte xxhash64 surrogate as the batch path
+    (``blocking.hlsh.blocking_keys``), applied BEFORE the L-way explode. At
+    800k records the candidate join + collision aggregation carry two ids
+    per row; with ~60-byte uid strings the per-batch partial aggregation
+    spilled gigabytes of sorted runs — with int64 rids the same rows are
+    ~8x smaller and the hash map stays in memory. Pair with an identically
+    hashed static index and re-attach real uids from a (rid, uid)
+    dictionary after the C-threshold, exactly like ``fps.candidate_pairs``.
+    """
     udf = hlsh.hlsh_keys_udf(positions, n_bits)
+    uid_expr = (
+        F.xxhash64(F.col("uid")).alias("uid") if hash_uid else F.col("uid")
+    )
     return encoded_stream.select(
-        "uid", F.posexplode(udf(F.col("bf"))).alias("group_id", "key")
+        uid_expr, F.posexplode(udf(F.col("bf"))).alias("group_id", "key")
+    )
+
+
+def cap_static_index(static_keys: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop mega-buckets (> ``max_bucket`` rows per (group_id, key)) from a
+    static blocking index — the streaming counterpart of the batch path's
+    ``max_bucket`` cap (``ops/bucket_join.salted_sides``).
+
+    Without it the stream-static join output explodes on the same
+    low-information hot keys that carry ~73% of batch join volume: measured
+    at 800k records, the UNCAPPED join fed the per-batch partial aggregation
+    billions of rows, overflowed every hash-agg into sort-based fallback
+    (16 executor threads spilling for >15 min, 13 GB written), and with the
+    heap-backed state store OOM-killed the JVM. Mega-buckets are few (~0.1%
+    of keys), so the drop set is broadcast into an anti-join; the caller
+    should persist the result once — the stream re-reads the static plan
+    every micro-batch.
+    """
+    dropped = (
+        static_keys.groupBy("group_id", "key")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > max_bucket)
+        .select("group_id", "key")
+    )
+    return static_keys.join(
+        F.broadcast(dropped), ["group_id", "key"], "left_anti"
     )
 
 
 def stream_candidates_against_index(
-    key_stream: DataFrame, static_keys: DataFrame, C: int
+    key_stream: DataFrame, static_keys: DataFrame, C: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Stream-static join: new records probe the existing blocking index.
 
@@ -49,6 +89,12 @@ def stream_candidates_against_index(
     side is the snapshot of a prior batch run (e.g. the ``block`` stage
     parquet) — the streaming analog of the reference's V1 'buckets in
     distributed cache' design (``mr-blocking/FPSMapperV1.java:158-209``).
+
+    ``max_bucket`` applies :func:`cap_static_index` to the static side —
+    REQUIRED at scale (see that function's docstring); match the batch
+    pipeline's cap so stream and batch emit identical candidate sets. A
+    dropped bucket contributes no stream-index pairs, exactly like the batch
+    cap's drop-from-both-sides semantics.
     """
     s = key_stream.select(
         F.col("uid").alias("id_new"), "group_id", "key"
@@ -56,6 +102,8 @@ def stream_candidates_against_index(
     idx = static_keys.select(
         F.col("uid").alias("id_indexed"), "group_id", "key"
     )
+    if max_bucket is not None:
+        idx = cap_static_index(idx, max_bucket)
     return (
         s.join(idx, ["group_id", "key"])
         .filter(F.col("id_new") != F.col("id_indexed"))

@@ -145,6 +145,22 @@ def test_streaming_encode_and_block(spark, tmp_path):
     diff = got.exceptAll(batch_keys).count() + batch_keys.exceptAll(got).count()
     assert diff == 0
 
+    # rid-surrogate variant: the stream's hash_uid must be the batch one
+    q2 = (
+        stream_linkage.blocking_keys_stream(
+            stream_linkage.encode_stream(stream, cfg), pos, 1024, hash_uid=True)
+        .writeStream.format("memory").queryName("keys_mem_rid")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got_rid = spark.sql("SELECT * FROM keys_mem_rid")
+    batch_rid = hlsh.blocking_keys(
+        encode_dataframe(records, cfg, included=["uid"]), "uid", "bf", pos,
+        1024, hash_uid=True)
+    assert got_rid.schema["uid"].dataType.simpleString() == "bigint"
+    diff = got_rid.exceptAll(batch_rid).count() + batch_rid.exceptAll(got_rid).count()
+    assert diff == 0
+
 
 def test_streaming_windowed_counts(spark, tmp_path):
     from pprl_scaling_framework_spark.streaming import stream_linkage
@@ -164,3 +180,68 @@ def test_streaming_windowed_counts(spark, tmp_path):
     # append mode emits only closed windows (watermark) — some rows may be
     # held back, but the bulk must flow through
     assert got is not None and got > 0
+
+
+def test_stream_candidates_cap_parity(spark, tmp_path):
+    """max_bucket on the stream-static candidate join: identical pairs to an
+    independently-computed capped batch join, and the cap actually bites
+    (uncapped emits MORE pairs on the skewed corpus). The cap is what keeps
+    the per-batch join output bounded at scale — see cap_static_index."""
+    from pprl_scaling_framework_spark.blocking import hlsh
+    from pprl_scaling_framework_spark.encoding import schemes
+    from pprl_scaling_framework_spark.encoding.encode import encode_dataframe
+    from pprl_scaling_framework_spark.sources import repos as repos_src
+    from pprl_scaling_framework_spark.streaming import stream_linkage
+
+    cfg = schemes.clk(["content"], N=1024, K=5, Q=2)
+    # heavy skew: every 2nd entity shares near-identical content -> hot keys
+    records = repos_src.with_uid_and_sha(
+        repos_src.synth_repos(spark, n_entities=60, seed=3, skew_every=2)
+    )
+    src = str(tmp_path / "cap_src")
+    records.write.mode("overwrite").parquet(src)
+    pos = hlsh.position_matrix(8, 10, 1024, 42)
+    index = hlsh.blocking_keys(
+        encode_dataframe(records, cfg, included=["uid"]), "uid", "bf", pos, 1024
+    ).select("uid", "group_id", "key")
+    cap, C = 4, 2
+    sizes = index.groupBy("group_id", "key").count()
+    assert sizes.agg(F.max("count")).first()[0] > cap  # cap must bite
+
+    stream = spark.readStream.schema(records.schema).parquet(src)
+    key_stream = stream_linkage.blocking_keys_stream(
+        stream_linkage.encode_stream(stream, cfg), pos, 1024)
+    q = (
+        stream_linkage.stream_candidates_against_index(
+            key_stream, index, C, max_bucket=cap)
+        .writeStream.format("memory").queryName("cap_mem")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cap_mem")
+
+    # independent batch oracle: plain joins + HAVING-style size filter
+    kept = index.join(
+        sizes.filter(F.col("count") <= cap).select("group_id", "key"),
+        ["group_id", "key"])
+    want = (
+        index.select(F.col("uid").alias("id_new"), "group_id", "key")
+        .join(kept.select(F.col("uid").alias("id_indexed"), "group_id", "key"),
+              ["group_id", "key"])
+        .filter(F.col("id_new") != F.col("id_indexed"))
+        .groupBy("id_new", "id_indexed")
+        .agg(F.count("*").alias("collisions"))
+        .filter(F.col("collisions") >= C)
+    )
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+    assert got.count() > 0
+    # and the uncapped join emits strictly more pairs on this corpus
+    uncapped = (
+        index.select(F.col("uid").alias("id_new"), "group_id", "key")
+        .join(index.select(F.col("uid").alias("id_indexed"), "group_id", "key"),
+              ["group_id", "key"])
+        .filter(F.col("id_new") != F.col("id_indexed"))
+        .groupBy("id_new", "id_indexed").agg(F.count("*").alias("collisions"))
+        .filter(F.col("collisions") >= C)
+    )
+    assert uncapped.count() > got.count()
