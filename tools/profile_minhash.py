@@ -47,6 +47,7 @@ def main() -> None:
 
     spark = bench.build_spark(bench.CPUS)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench._ceiling_probe(spark, 300_000_000)  # JIT warm-up, unmeasured
     probe = bench._ceiling_probe(spark, 3_000_000_000)
 
     # mirror the q_dedup_minhash_lsh registry parameters
