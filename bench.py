@@ -522,7 +522,17 @@ def run_streaming_probe() -> dict:
     index = sl.cap_static_index(
         hlsh.blocking_keys(encoded, "uid", "bf", pos, n_bits, hash_uid=True),
         cfg.max_bucket,
-    ).persist()
+    )
+    if os.environ.get("STREAM_PREPARTITION_INDEX", "1") == "1":
+        # persist the static side ALREADY hash-partitioned on the join key:
+        # the cached plan exposes that outputPartitioning, so each
+        # micro-batch's join reuses it instead of re-shuffling the full
+        # index every trigger (stream-static joins re-execute the static
+        # plan per batch)
+        index = index.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "group_id", "key")
+    index = index.persist()
     index.count()
 
     stream = (
