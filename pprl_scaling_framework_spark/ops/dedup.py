@@ -128,6 +128,52 @@ def jaccard_of_arrays(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def jaccard_from_counts(na: Column, nb: Column, ni: Column) -> Column:
+    """jaccard from pre-computed set sizes |A|, |B|, |A∩B| (ints).
+
+    Bit-identical to :func:`jaccard_of_arrays` on distinct-element arrays:
+    inter and union are the same exact doubles, and the ``union > 0`` guard
+    is equivalent to ``na + nb > 0`` (union >= max(na, nb)).
+    """
+    inter = ni.cast("double")
+    union = (na + nb).cast("double") - inter
+    return F.when((na + nb) > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def _verified_pairs(cands: DataFrame, attach: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verify: re-attach gram arrays, intersect ONCE per pair.
+
+    The one-expression form ``filter(jaccard_of_arrays(...) >= t)`` evaluates
+    the O(|A|+|B|) ``array_intersect`` ~3x per pair — the intersect subtree
+    appears in the CaseWhen condition, numerator and denominator, and
+    CaseWhen branches are exempt from codegen subexpression elimination
+    (measured 8.9 s vs 2.8 s on 1.94M sf0.1 pairs, guide §1/§4). So the
+    counts (|A|, |B|, |A∩B|) are computed in ONE projection and persisted
+    (a plan barrier: ProjectCollapsing would otherwise substitute the
+    intersect back into every use site); the filter + jaccard projection
+    then run on three ints per pair. The persisted stats are O(candidate
+    pairs) rows x ~28 B — strictly smaller than the shuffle that produced
+    the pair set — and are registered for release like every operator cache.
+    """
+    with_hashes = (
+        cands.join(attach.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("g", "g_a"), "id_a")
+        .join(attach.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("g", "g_b"), "id_b")
+    )
+    stats = track_persist(with_hashes.select(
+        "id_a", "id_b",
+        F.size("g_a").alias("_na"), F.size("g_b").alias("_nb"),
+        F.size(F.array_intersect("g_a", "g_b")).alias("_ni"),
+    ))
+    jac = jaccard_from_counts(F.col("_na"), F.col("_nb"), F.col("_ni"))
+    return (
+        stats.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -194,18 +240,8 @@ def minhash_lsh_pairs(
     # runs on a handful of coalesced tasks (measured: 21 tasks / 32 cores,
     # 1.3-1.8x op wall)
     cands = cands.repartition(spread)
-    hashes_only = base.select("id", "hg")
-    with_hashes = (
-        cands.join(hashes_only.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("hg", "g_a"), "id_a")
-        .join(hashes_only.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("hg", "g_b"), "id_b")
-    )
-    return (
-        with_hashes.withColumn("jaccard", jaccard_of_arrays(F.col("g_a"), F.col("g_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verified_pairs(
+        cands, base.select("id", F.col("hg").alias("g")), threshold)
 
 
 def ngram_jaccard_pairs(
@@ -244,18 +280,8 @@ def ngram_jaccard_pairs(
         F.least("ng_a", "ng_b").cast("double")
         >= F.lit(threshold) * F.greatest("ng_a", "ng_b")
     ).drop("ng_a", "ng_b").repartition(spread)
-    grams_only = base.select("id", "grams")
-    with_grams = (
-        cands.join(grams_only.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("grams", "g_a"), "id_a")
-        .join(grams_only.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("grams", "g_b"), "id_b")
-    )
-    return (
-        with_grams.withColumn("jaccard", jaccard_of_arrays(F.col("g_a"), F.col("g_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verified_pairs(
+        cands, base.select("id", F.col("grams").alias("g")), threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, q: int = 3, bits: int = 56) -> DataFrame:
