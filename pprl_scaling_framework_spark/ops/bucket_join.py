@@ -159,6 +159,7 @@ def salted_pair_candidates(
     dedup: bool = True,
     keep_bucket_cols: bool = False,
     materialize_hot: bool | None = None,
+    spread: int | None = None,
 ) -> DataFrame:
     """-> distinct (id_a, id_b[, <payload>_a, <payload>_b]) with id_a < id_b.
 
@@ -172,7 +173,17 @@ def salted_pair_candidates(
 
     ``keep_bucket_cols=True`` includes the bucket columns in the output
     (useful when the caller's result is keyed by block, e.g. J1).
+
+    ``spread=N``: round-robin repartition ``keyed`` into N partitions first.
+    A small/single-file source arrives as ONE scan partition, and when the
+    salted join resolves to broadcast/hash joins with no exchange on the
+    streamed side, the whole quadratic pair fan-out runs in a single task
+    (measured: 2.6 s serial of a 4.7 s query). The shuffle moved is the tiny
+    keyed table; the fan-out then parallelizes. Callers whose input is
+    already well-partitioned should leave it None.
     """
+    if spread is not None:
+        keyed = keyed.repartition(spread)
     a, b = salted_sides(
         keyed, keyed, bucket_cols, id_col, hot_threshold, shards, max_bucket,
         materialize_hot=materialize_hot,
