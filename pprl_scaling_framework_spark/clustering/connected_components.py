@@ -109,21 +109,32 @@ def connected_components(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     ).localCheckpoint()
 
-    if driver_threshold and edges.count() <= driver_threshold:
-        spark = pairs.sparkSession
-        # collect int64 xxhash64 surrogates, not uid strings: 16 B/edge vs
-        # ~hundreds of bytes — the 1M-edge driver fast path stays ~16 MB.
-        # (64-bit surrogates are collision-safe to ~10^8 vertices; the
-        # distributed path takes over well before that.)
-        sedges = edges.select(
-            F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    rows = None
+    if driver_threshold:
+        # ONE action decides the path AND fetches the fast-path input
+        # (previously a count job followed by a full collect job): collect
+        # int64 xxhash64 surrogates, not uid strings — 16 B/edge keeps the
+        # 1M-edge fast path ~16 MB — limited to threshold+1 rows, so a
+        # too-large edge set costs one truncated fetch, and <= threshold
+        # rows from a limit IS the complete set. (64-bit surrogates are
+        # collision-safe to ~10^8 vertices; the distributed path takes over
+        # well before that.)
+        rows = (
+            edges.select(F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst"))
+            .limit(driver_threshold + 1)
+            .collect()
         )
-        rows = sedges.collect()
+        if len(rows) > driver_threshold:
+            rows = None
+    if rows is not None:
+        spark = pairs.sparkSession
         if not rows:
             return spark.createDataFrame([], "uid string, entity_id string")
-        comp = spark.createDataFrame(
+        # comp is bounded by the collected edge set — safe to broadcast
+        # (saves AQE a deliberation round on the tiny driver-built side)
+        comp = F.broadcast(spark.createDataFrame(
             _driver_union_find(rows), "rid long, root long"
-        )
+        ))
         # re-attach uids and pick the component-min uid as entity_id —
         # all distributed ops (nothing string-heavy crosses the driver)
         rid_dict = (

@@ -209,6 +209,13 @@ def minhash_lsh_pairs(
     # gram arrays are re-attached AFTER the pair set is deduplicated AND
     # size-pruned, otherwise hot buckets shuffle megabytes of array payload
     # per candidate row.
+    # bucket = int64 xxhash64 of (band, band signature) instead of the
+    # 64-char sha256 hex string: the bucket is purely an internal grouping
+    # key (it never reaches the output), so any injective-in-practice hash
+    # yields the identical pair set — and an 8-byte long through the salted
+    # join/distinct shuffles ~8x fewer key bytes and hash-probes far cheaper
+    # than a string (the same surrogate argument as the FPS rid keys; a
+    # collision would merge two buckets and is caught by the oracle gate)
     banded = base.select(
         "id", F.size("hg").alias("ng"),
         F.posexplode(
@@ -217,7 +224,7 @@ def minhash_lsh_pairs(
                 lambda b: F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
             )
         ).alias("band", "band_sig"),
-    ).withColumn("bucket", F.sha2(F.concat_ws(",", F.col("band"), F.concat_ws("-", "band_sig")), 256))
+    ).withColumn("bucket", F.xxhash64(F.col("band"), F.col("band_sig")))
 
     cands = salted_pair_candidates(
         banded.select("bucket", "id", "ng"), ["bucket"], payload_cols=("ng",),

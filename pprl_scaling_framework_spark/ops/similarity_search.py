@@ -177,10 +177,16 @@ def lsh_topk(
             )
             .filter(F.col("neighbor_id") != F.col("query_id"))
         )
+        # re-attach vectors from the RAW corpus, not the signature-augmented
+        # plan `c`: joining `c` re-executes the bucket-assignment lineage
+        # (the signature column is pruned, but the scan+compute subtree is
+        # not shared) when its only purpose on this branch was bucketing
         scored = (
             pair_ids
-            .join(c.select("neighbor_id", "c_vec"), "neighbor_id")
-            .join(q.select("query_id", "q_vec"), "query_id")
+            .join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("c_vec")), "neighbor_id")
+            .join(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("q_vec")), "query_id")
             .withColumn("cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -365,13 +371,17 @@ def ivf_topk(
         # cells are distinct, so every (query, neighbor) pair meets at most
         # once — no dedup needed; vectors re-attach from the PRE-explode
         # query base (the exploded q carries n_probe copies of q_vec)
-        q_vecs = (
-            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        )
+        # both re-attaches read the RAW inputs: joining the derived plans
+        # would re-execute the cell-assignment lineage — for `c` the pruned
+        # plan still carries the 1-row centroid BroadcastNestedLoopJoin
+        # (join elimination does not apply), i.e. a second full corpus
+        # scan+assignment whose only purpose was the cell key
         scored = (
             pair_ids
-            .join(c.select("neighbor_id", "c_vec"), "neighbor_id")
-            .join(q_vecs, "query_id")
+            .join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("c_vec")), "neighbor_id")
+            .join(queries.select(F.col(id_col).alias("query_id"),
+                                 F.col(vec_col).alias("q_vec")), "query_id")
             .withColumn("cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
         )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

@@ -106,7 +106,9 @@ def main() -> None:
         for i in range(repeat):
             release_persists()
             spark.catalog.clearCache()
-            r = bench.run_pipeline(spark, bench.N_ENTITIES)
+            wall, r = profile_action(
+                f"pipeline rep{i}",
+                lambda: bench.run_pipeline(spark, bench.N_ENTITIES))
             print(json.dumps(r["timings"]))
     else:
         from pprl_scaling_framework_spark.entry_queries import QUERIES
