@@ -131,9 +131,15 @@ def connected_components(
         if not rows:
             return spark.createDataFrame([], "uid string, entity_id string")
         # comp is bounded by the collected edge set — safe to broadcast
-        # (saves AQE a deliberation round on the tiny driver-built side)
+        # (saves AQE a deliberation round on the tiny driver-built side);
+        # ship it through the Arrow createDataFrame path (a pandas frame of
+        # two int64 columns) instead of per-row pickle serialization
+        import pandas as _pd
+
+        uf = _driver_union_find(rows)
         comp = F.broadcast(spark.createDataFrame(
-            _driver_union_find(rows), "rid long, root long"
+            _pd.DataFrame(uf, columns=["rid", "root"]),
+            "rid long, root long",
         ))
         # re-attach uids and pick the component-min uid as entity_id —
         # all distributed ops (nothing string-heavy crosses the driver)

@@ -41,11 +41,39 @@ HOT_BROADCAST_MAX_ROWS = 250_000
 _TRACKED_PERSISTS: list[DataFrame] = []
 
 
-def track_persist(df: DataFrame) -> DataFrame:
-    """persist() + register for later bulk release (see _TRACKED_PERSISTS)."""
+def track_persist(df: DataFrame, registry: list[DataFrame] | None = None) -> DataFrame:
+    """persist() + register for later bulk release (see _TRACKED_PERSISTS).
+
+    ``registry``: an optional caller-scoped list the DataFrame is ALSO
+    appended to, so a consumer (e.g. a pipeline result) can release exactly
+    its own caches via :func:`release_scoped` without touching another live
+    operator's — the process-global ``release_persists`` sweep is for
+    harnesses that know no other consumer is active.
+    """
     df = df.persist()
     _TRACKED_PERSISTS.append(df)
+    if registry is not None:
+        registry.append(df)
     return df
+
+
+def release_scoped(registry: list[DataFrame], blocking: bool = False) -> int:
+    """Unpersist exactly the DataFrames in ``registry`` (a scoped list filled
+    by ``track_persist(df, registry)``); removes them from the global sweep
+    list so a later ``release_persists()`` does not double-release."""
+    n = 0
+    while registry:
+        df = registry.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+        try:
+            _TRACKED_PERSISTS.remove(df)
+        except ValueError:
+            pass  # already swept by release_persists()
+    return n
 
 
 def release_persists(blocking: bool = False) -> int:

@@ -22,7 +22,7 @@ from ..core.planner import FPSPlan, plan_blocking
 from ..encoding.encode import encode_dataframe
 from ..encoding.schemes import EncodingConfig
 from ..clustering.connected_components import connected_components
-from ..ops.bucket_join import track_persist
+from ..ops.bucket_join import release_scoped, track_persist
 from ..matching.score import matched_pairs as _matched_pairs
 from .stages import StageRunner
 
@@ -62,6 +62,16 @@ class LinkageResult:
     matched_pairs: DataFrame
     clusters: Optional[DataFrame] = None
     uid_to_rep: Optional[DataFrame] = None   # (uid, rep_uid) when exact-collapse ran
+    #: stage caches THIS pipeline run registered (scoped; see release())
+    tracked: list[DataFrame] = field(default_factory=list)
+
+    def release(self, blocking: bool = False) -> int:
+        """Unpersist exactly this run's stage caches (encode/keys reuse
+        persists). Call after the terminal action on the result DataFrames;
+        plans still referencing them recompute from lineage. Unlike the
+        global ``ops.bucket_join.release_persists`` sweep, this cannot drop
+        another live pipeline's caches (round-6 advice item)."""
+        return release_scoped(self.tracked, blocking)
 
 
 def collapse_exact_duplicates(
@@ -74,9 +84,18 @@ def collapse_exact_duplicates(
     defense against this). Returns ``(representatives, uid_to_rep)`` where
     representatives carry one row per distinct content digest (min uid wins)
     and ``uid_to_rep`` maps every uid to its representative.
+
+    When the input already carries the stage-0 ``sha256`` column
+    (``sources.repos.with_uid_and_sha`` defines it as exactly
+    ``sha2(content, 256)``), it is reused instead of re-hashing every
+    content payload a second time — same digest by construction.
     """
+    if content_col == "content" and "sha256" in records.columns:
+        digest = F.col("sha256")
+    else:
+        digest = F.sha2(F.col(content_col), 256)
     digests = records.select(
-        F.col(uid_col).alias("uid"), F.sha2(F.col(content_col), 256).alias("_digest")
+        F.col(uid_col).alias("uid"), digest.alias("_digest")
     )
     reps = digests.groupBy("_digest").agg(F.min("uid").alias("rep_uid"))
     uid_to_rep = digests.join(reps, "_digest").select("uid", "rep_uid")
@@ -148,6 +167,7 @@ def run_dedup_pipeline(
     plan = config.plan()
     n_bits = config.encoding.total_bits
     pos = hlsh.position_matrix(plan.L, config.hlsh_K, n_bits, config.hlsh_seed)
+    tracked: list = []
 
     def stage(name, build, reused: bool = False):
         # without a StageRunner nothing is materialized — persist DFs that
@@ -156,7 +176,7 @@ def run_dedup_pipeline(
         if runner is not None:
             return runner.run(name, build)
         df = build()
-        return track_persist(df) if reused else df
+        return track_persist(df, tracked) if reused else df
 
     uid_to_rep = None
     if collapse_exact:
@@ -185,7 +205,8 @@ def run_dedup_pipeline(
         if collapse_exact:
             clusters = stage("cluster_expand",
                              lambda: expand_clusters(clusters, uid_to_rep))
-    return LinkageResult(plan, encoded, keys, cands, matches, clusters, uid_to_rep)
+    return LinkageResult(plan, encoded, keys, cands, matches, clusters,
+                         uid_to_rep, tracked=tracked)
 
 
 def run_linkage_pipeline(
@@ -209,12 +230,13 @@ def run_linkage_pipeline(
     plan = config_a.plan()
     n_bits = config_a.encoding.total_bits
     pos = hlsh.position_matrix(plan.L, config_a.hlsh_K, n_bits, config_a.hlsh_seed)
+    tracked: list = []
 
     def stage(name, build, reused: bool = False):
         if runner is not None:
             return runner.run(name, build)
         df = build()
-        return track_persist(df) if reused else df
+        return track_persist(df, tracked) if reused else df
 
     enc_a = stage("encode_a", lambda: encode_dataframe(
         records_a, config_a.encoding, included=[uid_col]), reused=True)
@@ -231,7 +253,7 @@ def run_linkage_pipeline(
         key_bits=config_a.hlsh_K, n_groups=plan.L, uids_hashed=True))
     matches = stage("match", lambda: _matched_pairs(
         cands, enc_a, config_a.method, config_a.threshold, n_bits, encoded_b=enc_b))
-    return LinkageResult(plan, enc_a, keys_a, cands, matches, None)
+    return LinkageResult(plan, enc_a, keys_a, cands, matches, None, tracked=tracked)
 
 
 def pairwise_f1(predicted: DataFrame, truth: DataFrame) -> dict:
