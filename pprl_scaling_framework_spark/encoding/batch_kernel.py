@@ -33,18 +33,10 @@ from ..core.qgrams import proper_string, qgrams_of_string
 from .schemes import EncodingConfig
 
 
-def _proper_series(col: pd.Series) -> pd.Series:
-    """Vectorized properString: collapse whitespace runs to '_', pad '_'."""
-    s = col.fillna("").astype(str)
-    # ASCII class = Java \s semantics (Unicode \s would also hit U+00A0 etc.)
-    p = s.str.replace(r"[ \t\n\x0b\f\r]+", "_", regex=True)
-    no_start = ~p.str.startswith("_")
-    no_end = ~p.str.endswith("_")
-    p = np.where(no_start, "_" + p, p)
-    p = pd.Series(p, index=col.index).astype(str)
-    p = pd.Series(np.where(no_end, p + "_", p), index=col.index).astype(str)
-    # empty source string -> zero grams (QGramUtil: isEmpty -> [])
-    return p.mask(s == "", "")
+# ASCII class = Java \s semantics (Unicode \s would also hit U+00A0 etc.)
+_WS_TABLE = np.zeros(256, dtype=bool)
+_WS_TABLE[[9, 10, 11, 12, 13, 32]] = True
+_PAD_BYTE = np.uint8(ord("_"))
 
 
 def gram_windows(col: pd.Series, q: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -54,33 +46,77 @@ def gram_windows(col: pd.Series, q: int) -> tuple[np.ndarray, np.ndarray, np.nda
     a (T, q) uint8 matrix of gram bytes, ``row_of_window`` maps each window to
     its batch row. Non-ASCII rows are handled via the scalar path and returned
     as a third element (list of (row, [gram bytes])) — empty on the fast path.
+
+    properString (collapse whitespace runs to '_', pad '_' on both ends,
+    empty source -> zero grams) is applied VECTORIZED on the joined byte
+    buffer — a per-row regex sub was ~25% of the whole encode kernel. The
+    scalar parity target is ``core.qgrams.proper_string`` (property-tested).
     """
-    proper = _proper_series(col)
-    vals = proper.to_numpy(dtype=object)
+    s = col.fillna("").astype(str)
+    vals = s.to_numpy(dtype=object)
     is_ascii = np.fromiter((v.isascii() for v in vals), dtype=bool, count=len(vals))
 
     fallback: list[tuple[int, list[bytes]]] = []
     if not is_ascii.all():
+        from ..core.qgrams import proper_string
+
         for r in np.flatnonzero(~is_ascii):
-            s = vals[r]
-            grams = [g.encode("utf-8") for g in
-                     (s[i:i + q] for i in range(max(len(s) - q + 1, 0)))] if s else []
+            raw = vals[r]
+            p = proper_string(raw) if raw else ""
+            grams = [p[i:i + q].encode("utf-8")
+                     for i in range(max(len(p) - q + 1, 0))] if raw else []
             fallback.append((int(r), grams))
             vals[r] = ""
 
     joined = "".join(vals.tolist())
     buf = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
-    lengths = np.array([len(v) for v in vals], dtype=np.int64)
-    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-    counts = np.where(lengths >= q, lengths - q + 1, 0)
+    n = len(vals)
+    raw_len = np.array([len(v) for v in vals], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(raw_len)[:-1]])
+    ends = starts + raw_len
+
+    if len(buf):
+        ws = _WS_TABLE[buf]
+        mapped = np.where(ws, _PAD_BYTE, buf)
+        # drop the 2nd..kth byte of each within-row whitespace run
+        first = np.zeros(len(buf), dtype=bool)
+        first[starts[raw_len > 0]] = True
+        prev_ws = np.empty_like(ws)
+        prev_ws[0] = False
+        prev_ws[1:] = ws[:-1]
+        keep = ~(ws & prev_ws & ~first)
+        comp = mapped[keep]
+        pre = np.concatenate([[0], np.cumsum(keep)])
+        new_len = pre[ends] - pre[starts]
+        new_starts = pre[starts]
+    else:
+        comp, new_len, new_starts = buf, raw_len, starts
+
+    nz = new_len > 0  # empty source string -> zero grams (QGramUtil: isEmpty)
+    first_ch = np.zeros(n, dtype=np.uint8)
+    last_ch = np.zeros(n, dtype=np.uint8)
+    first_ch[nz] = comp[new_starts[nz]]
+    last_ch[nz] = comp[new_starts[nz] + new_len[nz] - 1]
+    pad_f = nz & (first_ch != _PAD_BYTE)
+    pad_b = nz & (last_ch != _PAD_BYTE)
+    fin_len = new_len + pad_f + pad_b
+    fin_starts = np.concatenate([[0], np.cumsum(fin_len)[:-1]])
+    # pads are the pre-filled '_' bytes the compressed scatter leaves alone
+    out = np.full(int(fin_len.sum()), _PAD_BYTE, dtype=np.uint8)
+    if len(comp):
+        delta = fin_starts + pad_f - new_starts
+        row_of_byte = np.repeat(np.arange(n, dtype=np.int64), new_len)
+        out[np.arange(len(comp), dtype=np.int64) + delta[row_of_byte]] = comp
+
+    counts = np.where(fin_len >= q, fin_len - q + 1, 0)
     total = int(counts.sum())
     if total == 0:
         return np.empty((0, q), dtype=np.uint8), np.empty(0, dtype=np.int64), fallback
-    row_of_window = np.repeat(np.arange(len(vals), dtype=np.int64), counts)
+    row_of_window = np.repeat(np.arange(n, dtype=np.int64), counts)
     cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
     within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
-    win_start = starts[row_of_window] + within
-    windows = buf[win_start[:, None] + np.arange(q, dtype=np.int64)[None, :]]
+    win_start = fin_starts[row_of_window] + within
+    windows = out[win_start[:, None] + np.arange(q, dtype=np.int64)[None, :]]
     return windows, row_of_window, fallback
 
 
@@ -126,11 +162,21 @@ def _set_field_bits(
         posmat = np.empty((n_uniq, k), dtype=np.int64)
         for i in range(n_uniq):
             posmat[i] = cache.positions_bytes(uniq_bytes[i * q:(i + 1) * q])
-        # dedupe (row, gram) pairs before expanding by K
-        pair_key = row_of_window * np.int64(n_uniq) + inv
-        pair_key = np.unique(pair_key)
-        rows = pair_key // n_uniq
-        gidx = pair_key % n_uniq
+        # dedupe (row, gram) pairs before expanding by K — via a boolean
+        # (rows x uniques) presence matrix when it is small (O(T) scatter +
+        # O(R*G) scan beats np.unique's O(T log T) sort of every window key;
+        # measured ~1 s -> ~0.1 s per 40k records at q=2), sort fallback
+        # when the matrix would be large
+        n_rows = bits.shape[0]
+        if n_rows * n_uniq <= (1 << 23):
+            seen = np.zeros((n_rows, n_uniq), dtype=bool)
+            seen[row_of_window, inv] = True
+            rows, gidx = np.nonzero(seen)
+        else:
+            pair_key = row_of_window * np.int64(n_uniq) + inv
+            pair_key = np.unique(pair_key)
+            rows = pair_key // n_uniq
+            gidx = pair_key % n_uniq
         # single flat scatter: much faster than 2-d fancy indexing
         lin = (rows[:, None] * np.int64(n_total) + (posmat[gidx] + bit_offset)).ravel()
         bits.ravel()[lin] = 1

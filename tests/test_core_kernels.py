@@ -76,16 +76,40 @@ def test_proper_string():
 
 def test_proper_string_non_ascii_whitespace_preserved():
     # Java \s is ASCII-only: NBSP / LINE SEPARATOR must NOT collapse to '_'
-    import pandas as pd
-    from pprl_scaling_framework_spark.encoding.batch_kernel import _proper_series
     cases = ["a\u00a0b", "a\u2028b", "a\u2003b", "a \u00a0 b"]
     expect = ["_a\u00a0b_", "_a\u2028b_", "_a\u2003b_", "_a_\u00a0_b_"]
     for s, e in zip(cases, expect):
         assert qgrams.proper_string(s) == e
-    batch = _proper_series(pd.Series(cases)).tolist()
-    assert batch == expect
     # ASCII vertical tab / form feed DO collapse (in Java \s, unlike RE2 \s)
     assert qgrams.proper_string("a\x0bb\x0cc") == "_a_b_c_"
+
+
+def test_gram_windows_matches_scalar_proper_string():
+    """The vectorized joined-buffer properString inside gram_windows must
+    reproduce the scalar reference (core.qgrams) gram-for-gram, including
+    non-ASCII fallback rows, empty/blank strings and '_'-boundary cases."""
+    import random
+    import string
+
+    import pandas as pd
+    from pprl_scaling_framework_spark.encoding.batch_kernel import gram_windows
+
+    rng = random.Random(7)
+    chars = string.ascii_letters + string.digits + " \t\n\x0b\f\r_" + "  "
+    cases = ["", " ", "  ", "_", "a", " a", "a ", "  a  b  ", "_a_", "\t\n",
+             "a\tb\nc", "ab", "_ _", "  _  ", "a\u00a0b", "h\u00e9llo w\u00f6rld"]
+    cases += ["".join(rng.choice(chars) for _ in range(rng.randint(0, 30)))
+              for _ in range(500)]
+    for q in (2, 3):
+        windows, row_of, fb = gram_windows(pd.Series(cases, dtype=object), q)
+        got: dict[int, list[bytes]] = {}
+        for w, r in zip(windows, row_of):
+            got.setdefault(int(r), []).append(bytes(w.tobytes()))
+        for r, grams in fb:
+            got.setdefault(r, []).extend(grams)
+        for i, s in enumerate(cases):
+            expect = [g.encode("utf-8") for g in qgrams.qgrams_of_string(s, q)]
+            assert got.get(i, []) == expect, (q, i, repr(s))
 
 
 def test_qgrams_string():
