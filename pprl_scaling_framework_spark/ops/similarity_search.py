@@ -55,6 +55,12 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
+    # a small/one-file corpus arrives as a single scan partition and the
+    # broadcast cross join adds no exchange, so every query x corpus cosine
+    # would run serially in one task; spread the corpus first (the shuffle
+    # moved is just the corpus rows, the scoring then parallelizes)
+    spread = max(corpus.sparkSession.sparkContext.defaultParallelism, 8)
+    c = c.repartition(spread)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
