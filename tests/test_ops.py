@@ -562,3 +562,38 @@ def test_ivf_topk_recall_and_path_parity(emb):
     for df in bucket_join._TRACKED_PERSISTS:
         assert "q_vec" not in df.columns  # no internal query persist with a hint
     bucket_join.release_persists()
+
+
+def test_minhash_verify_single_eval_matches_exact_python(spark):
+    """Round-7 internals change: the exact-Jaccard verify computes |A cap B|
+    once behind a persist barrier (_verified_pairs) instead of re-evaluating
+    array_intersect per CaseWhen branch. The reported jaccard of EVERY
+    emitted pair must equal a pure-Python exact computation over the same
+    distinct q-gram sets, and the pair set must be band-consistent."""
+    import random
+
+    rng = random.Random(13)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    docs = []
+    for i in range(40):
+        base = " ".join(rng.choice(words) for _ in range(12))
+        docs.append((i, base))
+        if i % 3 == 0:  # a near-duplicate neighbor
+            docs.append((100 + i, base.replace("alpha", "omega")))
+    df = spark.createDataFrame(docs, ["id", "t"])
+    out = dedup.minhash_lsh_pairs(df, "id", "t", q=3, num_hashes=16, bands=4,
+                                  threshold=0.5).collect()
+    assert out  # near-dupes exist by construction
+
+    def grams(s):
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    by_id = {i: grams(t) for i, t in docs}
+    for r in out:
+        a, b = by_id[r["id_a"]], by_id[r["id_b"]]
+        exact = len(a & b) / len(a | b)
+        assert exact >= 0.5
+        assert r["jaccard"] == pytest.approx(round(exact, 6), abs=1e-9)
+    from pprl_scaling_framework_spark.ops import bucket_join
+
+    bucket_join.release_persists()
