@@ -29,7 +29,7 @@ import pandas as pd
 
 from ..core.bloom import pack_bits
 from ..core.hashing import GramHashCache
-from ..core.qgrams import proper_string, qgrams_of_string
+from ..core.qgrams import proper_string
 from .schemes import EncodingConfig
 
 
@@ -58,8 +58,6 @@ def gram_windows(col: pd.Series, q: int) -> tuple[np.ndarray, np.ndarray, np.nda
 
     fallback: list[tuple[int, list[bytes]]] = []
     if not is_ascii.all():
-        from ..core.qgrams import proper_string
-
         for r in np.flatnonzero(~is_ascii):
             raw = vals[r]
             p = proper_string(raw) if raw else ""

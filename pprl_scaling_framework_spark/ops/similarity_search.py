@@ -58,9 +58,11 @@ def brute_force_topk(
     # a small/one-file corpus arrives as a single scan partition and the
     # broadcast cross join adds no exchange, so every query x corpus cosine
     # would run serially in one task; spread the corpus first (the shuffle
-    # moved is just the corpus rows, the scoring then parallelizes)
+    # moved is just the corpus rows, the scoring then parallelizes). Only
+    # widen: never repartition DOWN a corpus that is already spread.
     spread = max(corpus.sparkSession.sparkContext.defaultParallelism, 8)
-    c = c.repartition(spread)
+    if c.rdd.getNumPartitions() < spread:
+        c = c.repartition(spread)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
